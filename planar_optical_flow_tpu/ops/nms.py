@@ -1,0 +1,74 @@
+"""Vote-space non-maximum suppression for per-point center predictions.
+
+On-device, fixed-shape equivalent of the host loop in the reference
+(``/root/reference/src/utils/utils.py:535-571``): each point votes for a
+person center (canonical offset), votes are sorted by confidence and greedily
+deduplicated by distance. Output shapes are static (one slot per point) with
+a boolean ``keep`` mask; the host unpacks variable-length detections when it
+needs them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from planar_optical_flow_tpu.ops.geometry import canonical_to_global, rphi_to_xy
+
+
+def nms_predicted_center(scan, scan_phi, pred_cls, pred_reg, min_dist: float = 0.5):
+    """Greedy center NMS over one scan.
+
+    Args:
+      scan: ``(P,)`` ranges.
+      scan_phi: ``(P,)`` beam angles.
+      pred_cls: ``(P, 1)`` confidences (already sigmoided).
+      pred_reg: ``(P, 2)`` canonical-frame center votes.
+      min_dist: suppression radius in meters.
+
+    Returns:
+      det_xys: ``(P, 2)`` voted centers sorted by descending confidence.
+      det_cls: ``(P, 1)`` confidences in the same order.
+      keep: ``(P,)`` bool, True for surviving detections (in sorted order).
+      instance_mask: ``(P,)`` int32 instance id per *original* point
+        (0 = unassigned).
+    """
+    num_pts = scan.shape[0]
+    pred_r, pred_phi = canonical_to_global(
+        scan, scan_phi, pred_reg[:, 0], pred_reg[:, 1]
+    )
+    xs, ys = rphi_to_xy(pred_r, pred_phi)
+
+    order = jnp.argsort(-pred_cls[:, 0])
+    xs, ys = xs[order], ys[order]
+    cls_sorted = pred_cls[order]
+
+    dist = jnp.hypot(xs[:, None] - xs[None, :], ys[:, None] - ys[None, :])
+    close = dist < min_dist
+
+    def body(i, carry):
+        keep, inst, next_id = carry
+        active = keep[i]
+        dup = jnp.logical_and(close[i], active)
+        # suppress everything close to i, but i itself stays kept
+        keep = jnp.logical_and(keep, jnp.logical_not(dup)).at[i].set(active)
+        inst = jnp.where(dup, next_id, inst)
+        next_id = jnp.where(active, next_id + 1, next_id)
+        return keep, inst, next_id
+
+    keep0 = jnp.ones(num_pts, dtype=bool)
+    inst0 = jnp.zeros(num_pts, dtype=jnp.int32)
+    keep, inst_sorted, _ = jax.lax.fori_loop(0, num_pts, body, (keep0, inst0, 1))
+
+    # instance ids back to original point order
+    instance_mask = jnp.zeros(num_pts, dtype=jnp.int32).at[order].set(inst_sorted)
+    det_xys = jnp.stack((xs, ys), axis=1)
+    return det_xys, cls_sorted, keep, instance_mask
+
+
+def unpack_detections(det_xys, det_cls, keep):
+    """Host-side convenience: drop suppressed slots (variable-length result)."""
+    import numpy as np
+
+    keep = np.asarray(keep)
+    return np.asarray(det_xys)[keep], np.asarray(det_cls)[keep]

@@ -1,0 +1,161 @@
+"""Rotated bounding-box IoU as a single fixed-shape XLA program.
+
+This replaces the reference's numba-CUDA kernel
+(``/root/reference/src/utils/rotate_iou.py``) — the only native device code
+in the reference — with a branch-free, fully batched TPU formulation:
+
+* box -> 4 corners (vectorized; same clockwise-rotation convention as the
+  reference's ``rbbox_to_corners``, ``rotate_iou.py:208-230``),
+* rectangle∩rectangle via Sutherland–Hodgman clipping with a fixed 8-vertex
+  padded buffer (a convex polygon clipped by 4 half-planes gains at most one
+  vertex per plane: 4 -> 8), compacted with a masked cumsum scatter,
+* masked shoelace area.
+
+Unlike the reference eval loop, which launches one kernel per detection
+(``src/model/box_regression_fn.py:77-82``), all (N, K) pairs are evaluated in
+one program — on TPU this is a handful of fused VPU ops.
+
+Box formats (matching ``rotate_iou_gpu_eval``, ``rotate_iou.py:363-404``):
+  2D: ``[cx, cy, l, w, angle]`` (angle clockwise-positive)
+  3D: ``[cx, cy, cz, l, w, h, rot_z]``
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_MAX_VERTS = 8
+_EPS = 1e-8
+
+
+def box_corners(box):
+    """Corners ``(4, 2)`` of one ``[cx, cy, l, w, angle]`` box, clockwise,
+    rotated clockwise for positive angle (reference convention)."""
+    c, s = jnp.cos(box[4]), jnp.sin(box[4])
+    hx, hy = 0.5 * box[2], 0.5 * box[3]
+    local = jnp.array([[-1.0, -1.0], [-1.0, 1.0], [1.0, 1.0], [1.0, -1.0]])
+    local = local * jnp.array([hx, hy])
+    rot = jnp.array([[c, s], [-s, c]])  # clockwise for positive angle
+    return local @ rot.T + box[:2]
+
+
+def _clip_by_halfplane(verts, count, p, q, interior):
+    """Clip polygon (``verts (8,2)`` with ``count`` valid, in boundary order)
+    by the half-plane through edge p->q containing ``interior``."""
+    n = jnp.array([-(q[1] - p[1]), q[0] - p[0]])  # left normal of p->q
+    sign = jnp.where(jnp.dot(n, interior - p) >= 0.0, 1.0, -1.0)
+    n = n * sign  # inside: dot(n, x - p) >= 0
+
+    idx = jnp.arange(_MAX_VERTS)
+    valid_in = idx < count
+    cnt = jnp.maximum(count, 1)
+    nxt = (idx + 1) % cnt
+    s_pt = verts
+    e_pt = verts[nxt]
+
+    ds = jnp.einsum("j,ij->i", n, s_pt - p)
+    de = jnp.einsum("j,ij->i", n, e_pt - p)
+    s_in = ds >= 0.0
+    e_in = de >= 0.0
+
+    t = ds / jnp.where(jnp.abs(ds - de) < _EPS, _EPS, ds - de)
+    inter = s_pt + t[:, None] * (e_pt - s_pt)
+
+    # per input edge, emit (crossing-intersection?, endpoint-if-inside?)
+    emit_inter = jnp.logical_and(jnp.logical_xor(s_in, e_in), valid_in)
+    emit_end = jnp.logical_and(e_in, valid_in)
+
+    cand = jnp.stack((inter, e_pt), axis=1).reshape(2 * _MAX_VERTS, 2)
+    emit = jnp.stack((emit_inter, emit_end), axis=1).reshape(2 * _MAX_VERTS)
+
+    pos = jnp.cumsum(emit) - 1
+    pos = jnp.where(emit, pos, 2 * _MAX_VERTS)  # dropped
+    out = jnp.zeros_like(verts).at[pos].set(cand, mode="drop")
+    return out, jnp.sum(emit).astype(count.dtype)
+
+
+def _polygon_area(verts, count):
+    """Masked shoelace area of the first ``count`` vertices (boundary order)."""
+    idx = jnp.arange(_MAX_VERTS)
+    cnt = jnp.maximum(count, 1)
+    nxt = (idx + 1) % cnt
+    cross = verts[:, 0] * verts[nxt, 1] - verts[nxt, 0] * verts[:, 1]
+    cross = jnp.where(idx < count, cross, 0.0)
+    return 0.5 * jnp.abs(jnp.sum(cross))
+
+
+def _rect_intersection_area(box1, box2):
+    """Overlap area of two rotated rectangles via Sutherland–Hodgman."""
+    subj = box_corners(box1)
+    clip = box_corners(box2)
+    center2 = box2[:2]
+
+    verts = jnp.zeros((_MAX_VERTS, 2), dtype=subj.dtype).at[:4].set(subj)
+    count = jnp.asarray(4, dtype=jnp.int32)
+    for k in range(4):
+        verts, count = _clip_by_halfplane(
+            verts, count, clip[k], clip[(k + 1) % 4], center2
+        )
+    return _polygon_area(verts, count)
+
+
+def _pair_iou_2d(box1, box2, criterion: int = -1):
+    area1 = box1[2] * box1[3]
+    area2 = box2[2] * box2[3]
+    inter = _rect_intersection_area(box1, box2)
+    if criterion == -1:
+        denom = area1 + area2 - inter
+    elif criterion == 0:
+        denom = area1
+    elif criterion == 1:
+        denom = area2
+    else:
+        return inter
+    return inter / jnp.maximum(denom, _EPS)
+
+
+def _pair_iou_3d(box1, box2, criterion: int = -1):
+    # box: [cx, cy, cz, l, w, h, rot_z]
+    b1_2d = box1[jnp.array([0, 1, 3, 4, 6])]
+    b2_2d = box2[jnp.array([0, 1, 3, 4, 6])]
+    area_inter = _rect_intersection_area(b1_2d, b2_2d)
+
+    top = jnp.minimum(box1[2] + 0.5 * box1[5], box2[2] + 0.5 * box2[5])
+    bot = jnp.maximum(box1[2] - 0.5 * box1[5], box2[2] - 0.5 * box2[5])
+    h_inter = jnp.maximum(top - bot, 0.0)
+
+    vol1 = box1[3] * box1[4] * box1[5]
+    vol2 = box2[3] * box2[4] * box2[5]
+    vol_inter = area_inter * h_inter
+    if criterion == -1:
+        denom = vol1 + vol2 - vol_inter
+    elif criterion == 0:
+        denom = vol1
+    elif criterion == 1:
+        denom = vol2
+    else:
+        return vol_inter
+    return vol_inter / jnp.maximum(denom, _EPS)
+
+
+def rotated_iou(boxes, query_boxes, criterion: int = -1):
+    """Pairwise rotated IoU of ``boxes (N, 5)`` vs ``query_boxes (K, 5)``.
+
+    Returns ``(N, K)`` float32. Jittable; one fused program for all pairs.
+    """
+    boxes = jnp.asarray(boxes, dtype=jnp.float32)
+    query_boxes = jnp.asarray(query_boxes, dtype=jnp.float32)
+    f = jax.vmap(jax.vmap(lambda a, b: _pair_iou_2d(a, b, criterion),
+                          in_axes=(None, 0)), in_axes=(0, None))
+    return f(boxes, query_boxes)
+
+
+def rotated_iou_3d(boxes, query_boxes, criterion: int = -1):
+    """Pairwise 3D rotated IoU of ``boxes (N, 7)`` vs ``query_boxes (K, 7)``,
+    format ``[cx, cy, cz, l, w, h, rot_z]`` (z-aligned boxes)."""
+    boxes = jnp.asarray(boxes, dtype=jnp.float32)
+    query_boxes = jnp.asarray(query_boxes, dtype=jnp.float32)
+    f = jax.vmap(jax.vmap(lambda a, b: _pair_iou_3d(a, b, criterion),
+                          in_axes=(None, 0)), in_axes=(0, None))
+    return f(boxes, query_boxes)

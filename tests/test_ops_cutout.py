@@ -1,0 +1,98 @@
+import numpy as np
+import jax
+
+import planar_optical_flow_tpu.ops as ops
+from planar_optical_flow_tpu.ops.cutout import area_s_for
+from tests import oracles
+
+
+def _scans(rng, num_scans=3, num_pts=450):
+    # smooth-ish range profile with jumps, plus some out-of-range returns
+    base = 5.0 + 3.0 * np.sin(np.linspace(0, 6, num_pts))
+    scans = base[None, :] + rng.normal(scale=0.1, size=(num_scans, num_pts))
+    scans[:, 100:110] = 29.99
+    scans[:, 200:205] = 0.4  # very close -> wide window, exercises area mode
+    return scans.astype(np.float32)
+
+
+def test_cutout_matches_oracle_point_mode(rng):
+    scans = _scans(rng)
+    phi = oracles.laser_phi()
+    got = np.asarray(ops.scans_to_cutout(scans, phi, num_cutout_pts=24))
+    want, _ = oracles.cutout_loop(scans, phi, num_cutout_pts=24)
+    assert got.shape == (450, 3, 24)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_cutout_matches_oracle_area_mode(rng):
+    scans = _scans(rng)
+    phi = oracles.laser_phi()
+    want, s_area = oracles.cutout_loop(
+        scans, phi, num_cutout_pts=24, area_mode=True,
+        window_width=1.0, window_depth=0.5,
+    )
+    assert s_area > 1, "test data must trigger area mode"
+    got = np.asarray(
+        ops.scans_to_cutout(
+            scans, phi, num_cutout_pts=24, area_mode=True,
+            window_width=1.0, window_depth=0.5, area_s=s_area,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_cutout_fixed_and_uncentered(rng):
+    scans = _scans(rng)
+    phi = oracles.laser_phi()
+    got = np.asarray(
+        ops.scans_to_cutout(scans, phi, fixed=True, centered=False,
+                            num_cutout_pts=16)
+    )
+    want, _ = oracles.cutout_loop(scans, phi, fixed=True, centered=False,
+                                  num_cutout_pts=16)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_cutout_stride(rng):
+    scans = _scans(rng)
+    phi = oracles.laser_phi()
+    got = np.asarray(ops.scans_to_cutout(scans, phi, stride=2,
+                                         num_cutout_pts=16))
+    want, _ = oracles.cutout_loop(scans, phi, stride=2, num_cutout_pts=16)
+    assert got.shape == (225, 3, 16)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_cutout_batched_and_jitted(rng):
+    scans = np.stack([_scans(rng), _scans(rng)])  # (2, 3, 450)
+    phi = oracles.laser_phi()
+
+    fn = jax.jit(
+        lambda s: ops.scans_to_cutout(s, phi, num_cutout_pts=24,
+                                      area_mode=True, window_width=1.0,
+                                      window_depth=0.5, area_s=4)
+    )
+    got = np.asarray(fn(scans))
+    assert got.shape == (2, 450, 3, 24)
+    single = np.asarray(
+        ops.scans_to_cutout(scans[1], phi, num_cutout_pts=24, area_mode=True,
+                            window_width=1.0, window_depth=0.5, area_s=4)
+    )
+    # jit fusion reorders the f32 index math slightly vs the eager path
+    np.testing.assert_allclose(got[1], single, rtol=1e-3, atol=1e-3)
+
+
+def test_area_s_bound_covers_drow_configs():
+    # dr_spaam.yaml: window_width 1.0, 56 cutout pts
+    assert area_s_for(1.0, 56) >= 1
+    # worst case must be >= any data-driven factor for in-range scans
+    assert area_s_for(1.66, 48) <= 10
+
+
+def test_cutout_normalized_range():
+    """Centered cutouts are confined to [-1, 1] by the depth clamp."""
+    rng = np.random.default_rng(3)
+    scans = _scans(rng)
+    phi = oracles.laser_phi()
+    ct = np.asarray(ops.scans_to_cutout(scans, phi))
+    assert ct.min() >= -1.0 - 1e-5 and ct.max() <= 1.0 + 1e-5

@@ -1,0 +1,154 @@
+import numpy as np
+import jax
+
+import planar_optical_flow_tpu.ops as ops
+from planar_optical_flow_tpu.ops.nms import unpack_detections
+from tests import oracles
+
+
+# ------------------------------------------------------------------- NMS
+
+
+def _fake_votes(rng, num_pts=450):
+    phi = oracles.laser_phi(num_pts)
+    scan = rng.uniform(1.0, 10.0, size=num_pts).astype(np.float32)
+    pred_cls = rng.uniform(size=(num_pts, 1)).astype(np.float32)
+    pred_reg = rng.normal(scale=0.3, size=(num_pts, 2)).astype(np.float32)
+    return scan, phi, pred_cls, pred_reg
+
+
+def test_nms_matches_oracle(rng):
+    scan, phi, pred_cls, pred_reg = _fake_votes(rng)
+    det_xys, det_cls, keep, inst = ops.nms_predicted_center(
+        scan, phi, pred_cls, pred_reg
+    )
+    got_xys, got_cls = unpack_detections(det_xys, det_cls, keep)
+    want_xys, want_cls, want_inst = oracles.nms_loop(scan, phi, pred_cls, pred_reg)
+    np.testing.assert_allclose(got_xys, want_xys, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_cls, want_cls, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(inst), want_inst)
+
+
+def test_nms_suppression_distance(rng):
+    """Kept detections are pairwise farther apart than min_dist."""
+    scan, phi, pred_cls, pred_reg = _fake_votes(rng)
+    det_xys, _, keep, inst = ops.nms_predicted_center(
+        scan, phi, pred_cls, pred_reg, min_dist=0.5
+    )
+    kept = np.asarray(det_xys)[np.asarray(keep)]
+    d = np.linalg.norm(kept[:, None] - kept[None, :], axis=-1)
+    np.fill_diagonal(d, 1e9)
+    assert d.min() >= 0.5
+    # every point got an instance id
+    assert (np.asarray(inst) > 0).all()
+
+
+def test_nms_jittable(rng):
+    scan, phi, pred_cls, pred_reg = _fake_votes(rng)
+    fn = jax.jit(lambda s, c, r: ops.nms_predicted_center(s, phi, c, r))
+    det_xys, det_cls, keep, inst = fn(scan, pred_cls, pred_reg)
+    assert det_xys.shape == (450, 2)
+
+
+# ------------------------------------------------------------------- IoU
+
+
+def test_iou_identical_box():
+    box = np.array([[1.0, 2.0, 3.0, 1.5, 0.7]])
+    iou = np.asarray(ops.rotated_iou(box, box))
+    np.testing.assert_allclose(iou, [[1.0]], rtol=1e-5)
+
+
+def test_iou_disjoint():
+    a = np.array([[0.0, 0.0, 1.0, 1.0, 0.3]])
+    b = np.array([[10.0, 0.0, 1.0, 1.0, -0.2]])
+    np.testing.assert_allclose(np.asarray(ops.rotated_iou(a, b)), [[0.0]],
+                               atol=1e-7)
+
+
+def test_iou_axis_aligned_analytic():
+    # two unit squares overlapping by 0.5 in x: inter 0.5, union 1.5
+    a = np.array([[0.0, 0.0, 1.0, 1.0, 0.0]])
+    b = np.array([[0.5, 0.0, 1.0, 1.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(ops.rotated_iou(a, b)),
+                               [[0.5 / 1.5]], rtol=1e-5)
+
+
+def test_iou_rotated_45_analytic():
+    # unit square vs itself rotated 45 deg: octagon inter = 2*(sqrt(2)-1)
+    a = np.array([[0.0, 0.0, 1.0, 1.0, 0.0]])
+    b = np.array([[0.0, 0.0, 1.0, 1.0, np.pi / 4]])
+    inter = 2 * (np.sqrt(2) - 1)
+    want = inter / (2 - inter)
+    np.testing.assert_allclose(np.asarray(ops.rotated_iou(a, b)),
+                               [[want]], rtol=1e-5)
+
+
+def test_iou_contained_box():
+    a = np.array([[0.0, 0.0, 4.0, 4.0, 0.2]])
+    b = np.array([[0.0, 0.0, 1.0, 2.0, 1.1]])
+    want = 2.0 / 16.0
+    np.testing.assert_allclose(np.asarray(ops.rotated_iou(a, b)),
+                               [[want]], rtol=1e-5)
+
+
+def test_iou_random_vs_monte_carlo(rng):
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        b1 = np.array([r.uniform(-1, 1), r.uniform(-1, 1),
+                       r.uniform(0.5, 2.5), r.uniform(0.5, 2.5),
+                       r.uniform(-np.pi, np.pi)])
+        b2 = np.array([r.uniform(-1, 1), r.uniform(-1, 1),
+                       r.uniform(0.5, 2.5), r.uniform(0.5, 2.5),
+                       r.uniform(-np.pi, np.pi)])
+        got = float(np.asarray(ops.rotated_iou(b1[None], b2[None]))[0, 0])
+        want = oracles.mc_rotated_iou(b1, b2, n=400_000, seed=seed)
+        assert abs(got - want) < 0.01, (seed, got, want)
+
+
+def test_iou_pairwise_matrix(rng):
+    boxes = np.stack([
+        [0.0, 0.0, 1.0, 1.0, 0.0],
+        [5.0, 5.0, 2.0, 1.0, 0.5],
+        [0.2, 0.1, 1.0, 1.0, 0.1],
+    ])
+    iou = np.asarray(ops.rotated_iou(boxes, boxes))
+    assert iou.shape == (3, 3)
+    np.testing.assert_allclose(np.diag(iou), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(iou, iou.T, rtol=1e-4, atol=1e-6)
+    assert iou[0, 1] < 1e-6 and iou[0, 2] > 0.5
+
+
+def test_iou_3d_reference_smoke():
+    """The reference's __main__ micro-check (rotate_iou.py:407-412):
+    unit cubes offset 0.7 in z -> height overlap 0.3, union 1.7."""
+    b1 = np.array([[0.0, 0.0, 0.7, 1.0, 1.0, 1.0, 0.0]])
+    b2 = np.array([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0]])
+    got = np.asarray(ops.rotated_iou_3d(b1, b2))
+    np.testing.assert_allclose(got, [[0.3 / 1.7]], rtol=1e-5)
+
+
+def test_iou_3d_no_height_overlap():
+    b1 = np.array([[0.0, 0.0, 2.0, 1.0, 1.0, 1.0, 0.3]])
+    b2 = np.array([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.3]])
+    np.testing.assert_allclose(np.asarray(ops.rotated_iou_3d(b1, b2)),
+                               [[0.0]], atol=1e-7)
+
+
+def test_iou_criterion_modes():
+    a = np.array([[0.0, 0.0, 2.0, 2.0, 0.0]])
+    b = np.array([[0.0, 0.0, 1.0, 1.0, 0.0]])
+    # b inside a: inter = 1
+    np.testing.assert_allclose(np.asarray(ops.rotated_iou(a, b, criterion=0)),
+                               [[0.25]], rtol=1e-5)  # / area(a)
+    np.testing.assert_allclose(np.asarray(ops.rotated_iou(a, b, criterion=1)),
+                               [[1.0]], rtol=1e-5)  # / area(b)
+
+
+def test_iou_jit_batch(rng):
+    boxes = rng.uniform(0.5, 2.0, size=(32, 5)).astype(np.float32)
+    gts = rng.uniform(0.5, 2.0, size=(16, 5)).astype(np.float32)
+    fn = jax.jit(ops.rotated_iou)
+    iou = np.asarray(fn(boxes, gts))
+    assert iou.shape == (32, 16)
+    assert (iou >= -1e-6).all() and (iou <= 1.0 + 1e-5).all()
