@@ -1,0 +1,90 @@
+"""Batch loader: shuffled fixed-shape numpy batches with background
+prefetch and optional device-sharded placement.
+
+Replaces the torch ``DataLoader`` worker-pool pattern of the reference
+(``get_dataloader.py``, ``dataset_dr_spaam.py:26-28``): datasets here
+precompute their heavy arrays, so batching is slicing — a single prefetch
+thread hides host latency, and batches are placed directly onto the (possibly
+sharded) device layout so the train step never blocks on H2D copies.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterate dict batches over a dataset with a ``batch(indices)`` method
+    (or ``__getitem__`` + default stacking)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 2,
+                 put_fn=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.put_fn = put_fn  # e.g. device/shard placement
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, idx):
+        if hasattr(self.dataset, "batch"):
+            b = self.dataset.batch(idx)
+        else:
+            samples = [self.dataset[int(i)] for i in idx]
+            b = {
+                k: np.stack([s[k] for s in samples])
+                for k in samples[0]
+                if isinstance(samples[0][k], np.ndarray)
+                or np.isscalar(samples[0][k])
+            }
+        return self.put_fn(b) if self.put_fn is not None else b
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        limit = len(self) * self.batch_size if self.drop_last else n
+        chunks = [
+            order[i:i + self.batch_size]
+            for i in range(0, limit, self.batch_size)
+        ]
+        if not self.drop_last and chunks and len(chunks[-1]) < self.batch_size:
+            # pad the ragged tail by wrapping (keeps shapes static for jit)
+            pad = self.batch_size - len(chunks[-1])
+            chunks[-1] = np.concatenate([chunks[-1], order[:pad]])
+
+        if self.prefetch <= 0:
+            for c in chunks:
+                yield self._make_batch(c)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for c in chunks:
+                    q.put(self._make_batch(c))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,108 @@
+"""Shared building blocks.
+
+All modules are channels-last ``(B, L, C)`` — the natural layout for XLA/TPU
+convolutions. Initialization mirrors the reference's Kaiming-normal for
+leaky-relu (``a=0.1``) convolutions and unit-gamma/zero-beta batch norms
+(e.g. reference ``prototype.py:50-55``, ``dr_spaam.py:72-77``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+# torch kaiming_normal_(a=0.1, nonlinearity="leaky_relu"):
+#   std = sqrt(2 / (1 + a^2)) / sqrt(fan_in)
+KAIMING_LEAKY = nn.initializers.variance_scaling(
+    scale=2.0 / (1.0 + 0.1**2), mode="fan_in", distribution="normal"
+)
+
+
+class ConvBlock(nn.Module):
+    """Conv1D + BatchNorm + LeakyReLU."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    negative_slope: float = 0.1
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding="SAME" if self.kernel_size > 1 else "VALID",
+            kernel_init=KAIMING_LEAKY,
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(x)
+        return nn.leaky_relu(x, negative_slope=self.negative_slope)
+
+
+class DenseBlock(nn.Module):
+    """Linear + optional BatchNorm + optional LeakyReLU (reference ``_fc``)."""
+
+    features: int
+    use_bn: bool = True
+    use_act: bool = True
+    negative_slope: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Dense(self.features, kernel_init=KAIMING_LEAKY)(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(x)
+        if self.use_act:
+            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+        return x
+
+
+def conv_block(features, kernel_size=3, stride=1, negative_slope=0.1):
+    return ConvBlock(features, kernel_size, stride, negative_slope)
+
+
+def dense_block(features, use_bn=True, use_act=True):
+    return DenseBlock(features, use_bn, use_act)
+
+
+class ConvStack(nn.Module):
+    """A sequence of same-kernel ConvBlocks (reference ``nn.Sequential`` of
+    ``_conv3x3``)."""
+
+    features: Sequence[int]
+    kernel_size: int = 3
+    negative_slope: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for f in self.features:
+            x = ConvBlock(
+                f, self.kernel_size, negative_slope=self.negative_slope
+            )(x, train=train)
+        return x
+
+
+def max_pool1d(x, window: int = 2):
+    """Non-overlapping max pool over the length axis of ``(B, L, C)``."""
+    return nn.max_pool(x, window_shape=(window,), strides=(window,))
+
+
+def avg_pool_full(x):
+    """Average over the entire length axis: ``(B, L, C) -> (B, C)``."""
+    return jnp.mean(x, axis=-2)
+
+
+def upsample_nearest(x, new_len: int):
+    """Nearest-neighbor resize along the length axis of ``(B, L, C)``
+    (matches ``F.interpolate(mode='nearest')``)."""
+    b, l, c = x.shape
+    idx = (jnp.arange(new_len) * l) // new_len
+    return x[:, idx, :]

@@ -1,0 +1,171 @@
+"""DR-SPAAM: spatial-attention auto-regressive template memory.
+
+Rebuild of the reference ``_SpatialAttention`` + ``SpatialDROW``
+(``src/depracted/model/dr_spaam.py:124-277``). Semantics:
+
+* each cutout's feature map is embedded to 128-d (the reference uses a
+  full-width conv with no padding — mathematically a dense layer over the
+  flattened feature map, which is how it is implemented here: one MXU matmul
+  instead of 450 tiny convs),
+* pairwise similarity between current-scan embeddings and template
+  embeddings (``(B, 450, 450)`` matmul),
+* banded masked softmax over the ±window/2 neighboring cutouts,
+* template update ``out = alpha * x + (1 - alpha) * attn(template)``,
+* the banded similarity values (pre-softmax) are returned as features for
+  the flow head.
+
+The temporal recursion runs as a statically unrolled loop over the scan axis
+(<= 11 steps; each step is dominated by the two matmuls, so unrolling under
+jit is cheaper than ``lax.scan`` loop plumbing and keeps BatchNorm stats
+updates identical to the reference's per-step calls). Streaming inference is
+the same cell exposed with an explicit template carry
+(:meth:`SpatialDrow.stream_step`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from planar_optical_flow_tpu.models.blocks import KAIMING_LEAKY
+from planar_optical_flow_tpu.models.drow import DrowBackbone, DrowHead
+
+
+def neighbor_band(n_cutout: int, window_size: int) -> np.ndarray:
+    """Edge-clamped band indices ``(n_cutout, window)`` (reference
+    ``_generate_neighbor_mask``, ``dr_spaam.py:145-160``)."""
+    hw = window_size // 2
+    ids = np.arange(n_cutout)[:, None] + np.arange(-hw, hw + 1)[None, :]
+    return np.clip(ids, 0, n_cutout - 1)
+
+
+def band_mask(n_cutout: int, window_size: int) -> np.ndarray:
+    """Dense ``(n_cutout, n_cutout)`` 0/1 mask with 1 on the clamped band."""
+    mask = np.zeros((n_cutout, n_cutout), dtype=np.float32)
+    ids = neighbor_band(n_cutout, window_size)
+    np.put_along_axis(mask, ids, 1.0, axis=1)
+    return mask
+
+
+class SpatialAttentionGate(nn.Module):
+    """One step of the auto-regressive spatial-attention template update."""
+
+    alpha: float = 0.5
+    window_size: int = 7
+
+    @nn.compact
+    def __call__(self, x, template, train: bool = True):
+        """x, template: ``(B, n_cutout, L, C)`` cutout features.
+
+        Returns (new_template ``(B, n_cutout, L, C)``,
+                 sim_band ``(B, n_cutout, window)``).
+        """
+        b, ct, l, c = x.shape
+
+        dense = nn.Dense(128, kernel_init=KAIMING_LEAKY, name="embed")
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, name="embed_bn")
+
+        def emb(f):
+            e = dense(f.reshape(b * ct, l * c))
+            e = bn(e)
+            return nn.leaky_relu(e, negative_slope=0.1).reshape(b, ct, 128)
+
+        emb_x = emb(x)
+        emb_t = emb(template)
+
+        sim = jnp.einsum("bic,bjc->bij", emb_x, emb_t)  # (B, ct, ct)
+
+        band = jnp.asarray(neighbor_band(ct, self.window_size))
+        sim_band = jnp.take_along_axis(sim, band[None], axis=2)
+
+        mask = jnp.asarray(band_mask(ct, self.window_size))
+        masked = sim - 1e10 * (1.0 - mask)
+        attn = nn.softmax(masked, axis=-1)
+        attn = attn * mask  # exact zeros off-band (dr_spaam.py:196-201)
+        attn = attn / jnp.maximum(attn.sum(axis=-1, keepdims=True), 1e-20)
+
+        t_flat = template.reshape(b, ct, l * c)
+        mixed = jnp.einsum("bij,bjd->bid", attn, t_flat).reshape(b, ct, l, c)
+
+        new_template = self.alpha * x + (1.0 - self.alpha) * mixed
+        return new_template, sim_band
+
+
+class SpatialDrow(nn.Module):
+    """DROW backbone + spatial-attention temporal memory + detection head.
+
+    Training/eval call: ``(B, n_cutout, n_scan, n_pts)`` -> (cls, reg,
+    sim_band) where the template is initialized from scan 0 and updated
+    through the remaining scans (reference ``dr_spaam.py:262-277``).
+    """
+
+    dropout: float = 0.0
+    alpha: float = 0.5
+    window_size: int = 7
+    pedestrian_only: bool = False
+
+    def setup(self):
+        self.backbone = DrowBackbone(dropout=self.dropout)
+        self.gate = SpatialAttentionGate(
+            alpha=self.alpha, window_size=self.window_size
+        )
+        self.head = DrowHead(
+            num_classes=1 if self.pedestrian_only else 4, dropout=self.dropout
+        )
+
+    # ----------------------------------------------------------- internals
+
+    def _encode(self, x, train):
+        """(B, ct, S, pts) -> (B, ct, S, L, C): one batched backbone call."""
+        b, ct, s, p = x.shape
+        f = self.backbone(x.reshape(b * ct * s, p, 1), train=train)
+        return f.reshape(b, ct, s, f.shape[-2], f.shape[-1])
+
+    def _head(self, fused, train):
+        b, ct = fused.shape[:2]
+        cls, reg = self.head(
+            fused.reshape(b * ct, fused.shape[-2], fused.shape[-1]),
+            train=train,
+        )
+        return cls.reshape(b, ct, -1), reg.reshape(b, ct, 2)
+
+    # ------------------------------------------------------------- training
+
+    def __call__(self, x, train: bool = True):
+        feats = self._encode(x, train)  # (B, ct, S, L, C)
+        n_scan = feats.shape[2]
+        template = feats[:, :, 0]
+        sim_band = None
+        for i in range(1, n_scan):
+            template, sim_band = self.gate(feats[:, :, i], template,
+                                           train=train)
+        if sim_band is None:  # single-scan input: self-attention bootstrap
+            template, sim_band = self.gate(template, template, train=train)
+        pred_cls, pred_reg = self._head(template, train)
+        return pred_cls, pred_reg, sim_band
+
+    # ------------------------------------------------------------ streaming
+
+    def stream_step(self, x, template=None):
+        """Stateful single-scan inference step (reference ``testing=True``
+        branch, ``dr_spaam.py:239-250``).
+
+        Args:
+          x: ``(B, n_cutout, n_pts)`` cutouts of ONE scan.
+          template: carried ``(B, n_cutout, L, C)`` feature template or None
+            to bootstrap from this scan.
+
+        Returns (cls, reg, new_template, sim_band).
+        """
+        feats = self._encode(x[:, :, None, :], train=False)[:, :, 0]
+        if template is None:
+            # bootstrap: the raw features become the template; the gate only
+            # supplies the similarity features (dr_spaam.py:242-245)
+            new_template = feats
+            _, sim_band = self.gate(feats, feats, train=False)
+        else:
+            new_template, sim_band = self.gate(feats, template, train=False)
+        pred_cls, pred_reg = self._head(new_template, train=False)
+        return pred_cls, pred_reg, new_template, sim_band

@@ -1,0 +1,214 @@
+"""Per-workload loss/eval definitions ("tasks").
+
+The reference couples models to the pipeline through ``model_fn(model,
+batch) -> (loss, tb_dict, rtn_dict)`` closures (``src/utils/eval_utils.py``,
+``src/model/box_regression_fn.py``). Here each workload is a Task object
+with pure ``loss``/``metrics`` functions over (apply_fn, variables, batch) —
+jit-compiled by the Trainer, including any on-device input encoding (cutout
+extraction happens *inside* the train step, not in dataloader workers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from planar_optical_flow_tpu import ops
+from planar_optical_flow_tpu.ops.cutout import scans_to_cutout, area_s_for
+from planar_optical_flow_tpu.ops.geometry import get_laser_phi
+
+
+def _apply(apply_fn, variables, args, kwargs, train, rng=None):
+    """Run the model, collecting batch-norm updates when training."""
+    rngs = {"dropout": rng} if rng is not None else None
+    if train:
+        out, mutated = apply_fn(
+            variables, *args, train=True, mutable=["batch_stats"], rngs=rngs,
+            **kwargs,
+        )
+        return out, mutated.get("batch_stats")
+    return apply_fn(variables, *args, train=False, **kwargs), None
+
+
+@dataclass(frozen=True)
+class FlowUNetTask:
+    """Scan-pair planar flow (reference ``bin/train_prototype.py`` +
+    ``eval_utils.model_fn/eval``)."""
+
+    masked: bool = False
+
+    def loss(self, apply_fn, variables, batch, train, rng=None):
+        scan1 = batch["scan_pair"][:, 0]
+        scan2 = batch["scan_pair"][:, 1]
+        pred, new_stats = _apply(apply_fn, variables, (scan1, scan2), {},
+                                 train, rng)
+        mask = batch.get("exclude_mask") if self.masked else None
+        loss = ops.epe_loss(pred, batch["flow_target"], mask)
+        return loss, {"loss": loss}, {"pred_flow": pred}, new_stats
+
+    def metrics(self, apply_fn, variables, batch):
+        pred, _ = _apply(
+            apply_fn, variables,
+            (batch["scan_pair"][:, 0], batch["scan_pair"][:, 1]), {}, False,
+        )
+        epe, aae = ops.epe_aae(pred, batch["flow_target"])
+        return {"epe": jnp.mean(epe), "aae": jnp.mean(aae)}, {"pred_flow": pred}
+
+
+@dataclass(frozen=True)
+class DetectionTask:
+    """DROW / DR-SPAAM person detection (reference ``bin/train_obj_det.py``
+    + ``eval_utils.model_fn_obj_det``). Cutout encoding runs on device
+    inside the jitted step."""
+
+    cutout_kwargs: dict = field(default_factory=dict)
+    focal_loss_gamma: float = 0.0
+    pedestrian_only: bool = False
+    num_pts: int = 450
+
+    def _encode(self, scans):
+        kw = dict(self.cutout_kwargs)
+        if kw.pop("area_mode", False):
+            kw["area_mode"] = True
+            kw.setdefault(
+                "area_s",
+                area_s_for(kw.get("window_width", 1.66),
+                           kw.get("num_cutout_pts", 48)),
+            )
+        phi = get_laser_phi(num_pts=self.num_pts)
+        return scans_to_cutout(scans, phi, **kw)
+
+    def forward(self, apply_fn, variables, batch, train, rng=None):
+        cutouts = self._encode(batch["scans"])
+        return _apply(apply_fn, variables, (cutouts,), {}, train, rng)
+
+    def loss(self, apply_fn, variables, batch, train, rng=None):
+        out, new_stats = self.forward(apply_fn, variables, batch, train, rng)
+        pred_cls, pred_reg = out[0], out[1]  # SpatialDrow also returns sim
+        cls_loss, reg_loss, fg_ratio = ops.detection_loss(
+            pred_cls, pred_reg, batch["target_cls"], batch["target_reg"],
+            focal_gamma=self.focal_loss_gamma,
+            pedestrian_only=self.pedestrian_only,
+        )
+        loss = cls_loss + reg_loss
+        tb = {"loss": loss, "cls_loss": cls_loss, "reg_loss": reg_loss,
+              "fg_ratio": fg_ratio}
+        return loss, tb, {"pred_cls": pred_cls, "pred_reg": pred_reg}, new_stats
+
+    def metrics(self, apply_fn, variables, batch):
+        out, _ = self.forward(apply_fn, variables, batch, False)
+        pred_cls, pred_reg = out[0], out[1]
+        cls_loss, reg_loss, fg_ratio = ops.detection_loss(
+            pred_cls, pred_reg, batch["target_cls"], batch["target_reg"],
+            focal_gamma=self.focal_loss_gamma,
+            pedestrian_only=self.pedestrian_only,
+        )
+        return (
+            {"cls_loss": cls_loss, "reg_loss": reg_loss, "fg_ratio": fg_ratio},
+            {"pred_cls": pred_cls, "pred_reg": pred_reg},
+        )
+
+
+@dataclass(frozen=True)
+class FlowDrowTask(DetectionTask):
+    """Joint detection + flow with the frozen detector (reference
+    ``eval_utils.model_fn_dr_spaam:90-110`` / ``model_fn_eval:136-155``)."""
+
+    def loss(self, apply_fn, variables, batch, train, rng=None):
+        cutouts = self._encode(batch["scans"])
+        cur_scan = batch["scans"][:, -1]
+        out, new_stats = _apply(apply_fn, variables, (cutouts, cur_scan), {},
+                                train, rng)
+        pred_cls, pred_reg, pred_flow = out
+        loss = ops.epe_loss(pred_flow, batch["target_flow"],
+                            batch["exclude_mask"])
+        pred_norm = ops.epe_loss(pred_flow, jnp.zeros_like(pred_flow),
+                                 batch["exclude_mask"])
+        tb = {"loss": loss, "avg_pred_norm": pred_norm}
+        return loss, tb, {"pred_flow": pred_flow}, new_stats
+
+    def metrics(self, apply_fn, variables, batch):
+        cutouts = self._encode(batch["scans"])
+        cur_scan = batch["scans"][:, -1]
+        out, _ = _apply(apply_fn, variables, (cutouts, cur_scan), {}, False)
+        pred_cls, pred_reg, pred_flow = out
+        epe, aae = ops.epe_aae(pred_flow, batch["target_flow"])
+        return (
+            {"epe": jnp.mean(epe), "aae": jnp.mean(aae)},
+            {"pred_flow": pred_flow, "pred_cls": pred_cls,
+             "pred_reg": pred_reg},
+        )
+
+
+@dataclass(frozen=True)
+class BoxRegressionTask:
+    """PointNet box regression (reference ``src/model/box_regression_fn.py``).
+
+    Eval computes, fully batched on device, the rotated IoU of each
+    de-canonicalized prediction against its padded neighbor GT boxes — one
+    program instead of the reference's per-sample kernel launches
+    (``box_regression_fn.py:77-82``)."""
+
+    alpha: float = 0.5
+    is_3d: bool = True
+
+    def loss(self, apply_fn, variables, batch, train, rng=None):
+        pred, new_stats = _apply(apply_fn, variables, (batch["input"],), {},
+                                 train, rng)
+        loss = ops.box_regression_loss(pred, batch["target"], self.alpha)
+        return loss, {"loss": loss}, {"pred": pred}, new_stats
+
+    def metrics(self, apply_fn, variables, batch):
+        pred, _ = _apply(apply_fn, variables, (batch["input"],), {}, False)
+        target = batch["target"]
+        det_center = batch["det_center"]
+        input_angle = batch["input"][:, 0, -1]
+
+        if self.is_3d:
+            loss_z = jnp.abs(
+                pred[:, 0] + det_center[:, -1]
+                - (target[:, 0] + det_center[:, -1])
+            )
+            loss_dim = jnp.sum(jnp.abs(pred[:, 1:-1] - target[:, 1:-1]), axis=1)
+            ori = pred[:, -1] + input_angle
+            boxes = jnp.concatenate(
+                [
+                    det_center[:, :2],
+                    (pred[:, 0] + det_center[:, -1])[:, None],
+                    pred[:, 1:-1],
+                    ori[:, None],
+                ],
+                axis=1,
+            )  # (B, 7): cx cy cz l w h rot
+            iou_fn = ops.rotated_iou_3d
+        else:
+            loss_z = jnp.zeros(pred.shape[0])
+            loss_dim = jnp.sum(jnp.abs(pred[:, :-1] - target[:, :-1]), axis=1)
+            ori = pred[:, -1] + input_angle
+            boxes = jnp.concatenate(
+                [det_center[:, :2], pred[:, :-1], ori[:, None]], axis=1
+            )  # (B, 5)
+            iou_fn = ops.rotated_iou
+
+        loss_ori = jnp.abs(ori - batch["rot_z"])
+
+        # batched IoU vs padded neighbor GTs: vmap one (1, K) call per sample
+        neighbors = batch["target_neighbor"]  # (B, K, 7|5)
+        neighbor_valid = batch["target_neighbor_valid"]  # (B, K)
+
+        def per_sample(box, nbrs, valid):
+            iou = iou_fn(box[None], nbrs)[0]  # (K,)
+            return jnp.max(jnp.where(valid, iou, -jnp.inf))
+
+        ious = jax.vmap(per_sample)(boxes, neighbors, neighbor_valid)
+        return (
+            {
+                "iou": jnp.mean(ious),
+                "loss_z": jnp.mean(loss_z),
+                "loss_dim": jnp.mean(loss_dim),
+                "loss_ori": jnp.mean(loss_ori),
+            },
+            {"pred": pred},
+        )

@@ -1,0 +1,205 @@
+"""Preemption-safe training loop over jitted train/eval steps.
+
+Behavioral contract of the reference trainers (``src/pipeline/trainer.py``,
+``src/utils/train_utils.py:70-163``), rebuilt functionally:
+
+* per-batch: one jitted step = forward + loss + grad + clip + optimizer
+  update + batch-stat update (single XLA program; the reference's
+  zero_grad/backward/clip/step sequence, ``trainer.py:106-128``),
+* per-iteration fractional-epoch LR schedule (inside the optimizer),
+* SIGINT/SIGTERM traps flip a flag; the loop drains, writes a
+  process-agnostic sigterm checkpoint and returns 1 for the scheduler to
+  requeue (``trainer.py:19-21,68-75,102-104``),
+* periodic epoch checkpoints and eval (``trainer.py:79-92``),
+* scalar logging: TRAIN_lr / TRAIN_loss / TRAIN_epoch + task tb_dict
+  (``trainer.py:122-126``).
+
+When a mesh is provided, the step is jit-compiled with the batch sharded on
+the ``data`` axis and the state replicated — the gradient all-reduce rides
+ICI via XLA collectives.
+"""
+
+from __future__ import annotations
+
+import signal
+import time
+
+import jax
+import numpy as np
+
+from planar_optical_flow_tpu.train import checkpoint as ckpt_lib
+from planar_optical_flow_tpu.parallel.mesh import (
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+
+
+class Trainer:
+    def __init__(self, logger, cfg: dict, task, lr_schedule=None, mesh=None,
+                 install_signal_handlers: bool = True, seed: int = 0):
+        self._logger = logger
+        self._task = task
+        self._lr_schedule = lr_schedule
+        self._mesh = mesh
+        self._grad_norm_clip = cfg.get("grad_norm_clip", 0.0)
+        self._ckpt_interval = cfg.get("ckpt_interval", 5)
+        self._eval_interval = cfg.get("eval_interval", 5)
+        self._max_epoch = cfg.get("epoch", cfg.get("epochs", 1))
+        self._rng = jax.random.PRNGKey(seed)
+
+        self._sigterm = False
+        if install_signal_handlers:
+            signal.signal(signal.SIGINT, self._sigterm_cb)
+            signal.signal(signal.SIGTERM, self._sigterm_cb)
+
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------ plumbing
+
+    def _sigterm_cb(self, signum, frame):
+        self._sigterm = True
+        self._logger.info(f"received signal {signum}; checkpointing soon")
+
+    def request_stop(self):
+        """Programmatic preemption (used by fault-injection tests)."""
+        self._sigterm = True
+
+    def _build_steps(self, state):
+        task = self._task
+
+        def train_step(state, batch, rng):
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats is not None:
+                    variables["batch_stats"] = state.batch_stats
+                loss, tb, _, new_stats = task.loss(
+                    state.apply_fn, variables, batch, True, rng
+                )
+                return loss, (tb, new_stats)
+
+            (loss, (tb, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            new_state = state.apply_gradients(grads, new_stats)
+            return new_state, tb
+
+        def eval_step(state, batch):
+            variables = {"params": state.params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            metrics, _ = task.metrics(state.apply_fn, variables, batch)
+            return metrics
+
+        if self._mesh is not None:
+            bs = batch_sharding(self._mesh)
+            rep = replicated_sharding(self._mesh)
+            # shardings are pytree prefixes: replicated state/rng, batch
+            # sharded on the data axis
+            self._train_step = jax.jit(
+                train_step, in_shardings=(rep, bs, rep),
+                out_shardings=(rep, rep), donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                eval_step, in_shardings=(rep, bs), out_shardings=rep,
+            )
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._eval_step = jax.jit(eval_step)
+
+    def _place(self, batch):
+        if self._mesh is not None:
+            return shard_batch(batch, self._mesh)
+        return batch
+
+    def _place_state(self, state):
+        if self._mesh is not None:
+            rep = replicated_sharding(self._mesh)
+            return jax.device_put(state, rep)
+        return state
+
+    # ---------------------------------------------------------------- API
+
+    def train(self, state, train_loader, eval_loader=None):
+        """Run up to ``max_epoch`` epochs. Returns (state, rc) with rc=1 on
+        preemption (sigterm checkpoint written), 0 on completion."""
+        if self._train_step is None:
+            self._build_steps(state)
+        state = self._place_state(state)
+
+        for epoch in range(int(state.epoch), self._max_epoch):
+            if self._sigterm:
+                return self._preempt(state)
+
+            t0 = time.time()
+            n_batches = len(train_loader)
+            epoch_loss, n_done = 0.0, 0
+            for ib, batch in enumerate(train_loader):
+                if self._sigterm:
+                    return self._preempt(state)
+                self._rng, step_rng = jax.random.split(self._rng)
+                state, tb = self._train_step(
+                    state, self._place(batch), step_rng
+                )
+                step = int(state.step)
+                loss = float(tb["loss"])
+                epoch_loss += loss
+                n_done += 1
+                if self._lr_schedule is not None:
+                    self._logger.add_scalar(
+                        "TRAIN_lr", float(self._lr_schedule(step)), step
+                    )
+                self._logger.add_scalar("TRAIN_loss", loss, step)
+                self._logger.add_scalar(
+                    "TRAIN_epoch", epoch + ib / max(n_batches, 1), step
+                )
+                for k, v in tb.items():
+                    if k != "loss":
+                        self._logger.add_scalar(f"TRAIN_{k}", float(v), step)
+
+            state = state.replace(epoch=epoch + 1)
+            dt = time.time() - t0
+            self._logger.info(
+                f"epoch {epoch}: loss {epoch_loss / max(n_done, 1):.6f} "
+                f"({n_done} steps, {dt:.1f}s)"
+            )
+
+            if self._is_interval(epoch + 1, self._ckpt_interval):
+                ckpt_lib.save_checkpoint(
+                    f"{self._logger.ckpt_dir}/ckpt_e{epoch + 1}", state
+                )
+                self._logger.info(f"checkpoint ckpt_e{epoch + 1} saved")
+            if eval_loader is not None and self._is_interval(
+                epoch + 1, self._eval_interval
+            ):
+                self.evaluate(state, eval_loader, tb_prefix="VAL")
+            self._logger.flush()
+
+        return state, 0
+
+    def evaluate(self, state, eval_loader, tb_prefix="VAL"):
+        if self._eval_step is None:
+            self._build_steps(state)
+        sums, n = {}, 0
+        for batch in eval_loader:
+            if self._sigterm:
+                break
+            metrics = self._eval_step(state, self._place(batch))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        means = {k: v / max(n, 1) for k, v in sums.items()}
+        for k, v in means.items():
+            self._logger.add_scalar(f"{tb_prefix}_{k}", v, int(state.step))
+            self._logger.info(f"{tb_prefix} {k}: {v:.6f}")
+        return means
+
+    def _preempt(self, state):
+        ckpt_lib.save_checkpoint(self._logger.sigterm_ckpt, state)
+        self._logger.info(f"sigterm checkpoint saved: {self._logger.sigterm_ckpt}")
+        return state, 1
+
+    @staticmethod
+    def _is_interval(epoch, interval):
+        return interval > 0 and epoch % interval == 0

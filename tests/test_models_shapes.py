@@ -1,0 +1,141 @@
+"""Shape/structure smoke tests across the model zoo (cheap, no training)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from planar_optical_flow_tpu.models import (
+    FlowUNet,
+    FlowUNetAdditive,
+    Drow,
+    SpatialDrow,
+    FlowDrow,
+    BoundingBoxRegressor,
+    TNet,
+    get_model,
+    MODEL_REGISTRY,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_flow_unet_shapes():
+    m = FlowUNet()
+    x = jnp.zeros((2, 450, 2))
+    v = m.init(KEY, x, x, train=False)
+    out = m.apply(v, x, x, train=False)
+    assert out.shape == (2, 450, 2)
+    # scan2 defaults to scan1
+    out1 = m.apply(v, x, train=False)
+    assert out1.shape == (2, 450, 2)
+
+
+def test_flow_unet_additive_shapes():
+    m = FlowUNetAdditive()
+    x = jnp.zeros((2, 450, 2))
+    v = m.init(KEY, x, x, train=False)
+    assert m.apply(v, x, x, train=False).shape == (2, 450, 2)
+
+
+def test_flow_unet_odd_lengths():
+    """Encoder/decoder must handle non-power-of-two lengths like 450."""
+    m = FlowUNet()
+    for p in (450, 225, 100):
+        x = jnp.zeros((1, p, 2))
+        v = m.init(KEY, x, x, train=False)
+        assert m.apply(v, x, x, train=False).shape == (1, p, 2)
+
+
+def test_drow_shapes():
+    m = Drow(pedestrian_only=False)
+    x = jnp.zeros((2, 45, 4, 24))
+    v = m.init(KEY, x, train=False)
+    cls, reg = m.apply(v, x, train=False)
+    assert cls.shape == (2, 45, 4)
+    assert reg.shape == (2, 45, 2)
+
+
+def test_spatial_drow_shapes_and_stream_consistency():
+    m = SpatialDrow(window_size=5, pedestrian_only=True, alpha=0.5)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 45, 3, 24)).astype(np.float32))
+    v = m.init(KEY, x, train=False)
+    cls, reg, sim = m.apply(v, x, train=False)
+    assert cls.shape == (1, 45, 1) and reg.shape == (1, 45, 2)
+    assert sim.shape == (1, 45, 5)
+
+    # streaming over the scan axis reproduces the training-mode output
+    template = None
+    for s in range(x.shape[2]):
+        cls_s, reg_s, template, sim_s = m.apply(
+            v, x[:, :, s], template, method="stream_step"
+        )
+    np.testing.assert_allclose(np.asarray(cls_s), np.asarray(cls),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg_s), np.asarray(reg),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sim_s), np.asarray(sim),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_flow_drow_shapes_and_frozen_gradients():
+    m = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.ones((1, 45, 3, 24)) * 0.1
+    cur = jnp.ones((1, 45))
+    v = m.init(KEY, x, cur, train=False)
+    cls, reg, flow = m.apply(v, x, cur, train=False)
+    assert flow.shape == (1, 45, 2)
+
+    def loss(params):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, cur, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out[2] ** 2)
+
+    grads = jax.grad(loss)(v["params"])
+    det = jax.tree_util.tree_leaves(grads["dr_spaam"])
+    head = jax.tree_util.tree_leaves(
+        {k: g for k, g in grads.items() if k != "dr_spaam"}
+    )
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in det), \
+        "frozen detector received gradient"
+    assert any(float(jnp.abs(g).max()) > 0.0 for g in head), \
+        "flow head got no gradient"
+
+
+def test_bbox_regressor_shapes():
+    for in_dim, tgt_dim in ((4, 5), (3, 3)):
+        m = BoundingBoxRegressor(input_dim=in_dim, target_dim=tgt_dim)
+        x = jnp.zeros((4, 32, in_dim))
+        v = m.init(KEY, x, train=False)
+        assert m.apply(v, x, train=False).shape == (4, tgt_dim)
+
+
+def test_tnet_shapes():
+    m = TNet(input_dim=3)
+    x = jnp.zeros((2, 16, 3))
+    v = m.init(KEY, x, train=False)
+    assert m.apply(v, x, train=False).shape == (2, 3, 3)
+
+
+def test_registry_builds_all():
+    cfgs = {
+        "box_reg": {"type": "box_reg", "input_dim": 4, "target_dim": 5},
+        "flow_unet": {"type": "flow_unet"},
+        "prototype": {"type": "prototype"},
+        "prototype_test": {"type": "prototype_test"},
+        "drow": {"type": "drow"},
+        "dr-spaam": {"type": "dr-spaam", "window_size": 7},
+        "spatial_drow": {"type": "spatial_drow"},
+        "flow_drow": {"type": "flow_drow"},
+    }
+    assert set(cfgs) == set(MODEL_REGISTRY)
+    for cfg in cfgs.values():
+        assert get_model(cfg) is not None
+
+    try:
+        get_model({"type": "nope"})
+        raise AssertionError("should have raised")
+    except NotImplementedError:
+        pass
