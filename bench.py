@@ -1,0 +1,77 @@
+"""Headline benchmark: fused flow + DR-SPAAM detection streaming inference
+throughput on one chip.
+
+Pipeline per step (ONE compiled XLA program): raw scans -> on-device cutout
+encoding -> DR-SPAAM backbone -> spatial-attention template update -> flow
+head -> sigmoid + canonical->global flow -> vote NMS. The reference performs
+the cutout + NMS on host per frame (``infer_person_flow.py:101-187``).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 10,000 scans/sec/chip (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import make_stream_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
+    num_pts = 450
+
+    cutout_kwargs = dict(
+        fixed=True, centered=True, window_width=1.0, window_depth=0.5,
+        num_cutout_pts=56, padding_val=29.99, area_mode=True,
+    )  # dr_spaam.yaml working point
+
+    model = FlowDrow(window_size=11, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 56))
+    cur = jnp.zeros((1, num_pts))
+    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+
+    step = make_stream_step(model, cutout_kwargs, num_pts=num_pts,
+                            donate_template=True)
+
+    rng = np.random.default_rng(0)
+    scan = jnp.asarray(rng.uniform(0.5, 25.0, (batch, num_pts)),
+                       dtype=jnp.float32)
+
+    # bootstrap + warmup (compile both programs)
+    template, out = step(variables, None, scan)
+    for _ in range(3):
+        template, out = step(variables, template, scan)
+    jax.block_until_ready(out["pred_cls"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        template, out = step(variables, template, scan)
+    jax.block_until_ready(out["pred_cls"])
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = batch * iters / dt
+    p50_latency_ms = dt / iters * 1000.0
+
+    result = {
+        "metric": "fused flow+DR-SPAAM streaming inference throughput "
+                  f"(batch {batch} streams, incl. on-device cutout+NMS; "
+                  f"step latency {p50_latency_ms:.2f} ms)",
+        "value": round(scans_per_sec, 1),
+        "unit": "scans/sec/chip",
+        "vs_baseline": round(scans_per_sec / 10000.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Evaluation entry point (reference ``bin/eval_dr_spaam.py`` /
+``bin/eval_prototype.py``):
+
+    python bin/evaluate.py --cfg configs/dr_spaam.yaml --ckpt CKPT
+                           [--split val] [--synthetic DIR] [--ap]
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+# allow `python bin/<tool>.py` without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--split", default="val")
+    parser.add_argument("--tag", default="")
+    parser.add_argument("--synthetic", default=None)
+    parser.add_argument("--ap", action="store_true",
+                        help="also run streaming detection AP")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from planar_optical_flow_tpu.utils.config import load_config
+    from planar_optical_flow_tpu.pipeline import Pipeline, normalize_config
+
+    cfg = load_config(args.cfg, tag=args.tag)
+    cfg = normalize_config(cfg)
+
+    synthetic_dir = None
+    if args.synthetic:
+        from bin.train import _make_synthetic
+
+        synthetic_dir = _make_synthetic(cfg, args.synthetic)
+
+    pipeline = Pipeline(cfg, synthetic_dir=synthetic_dir,
+                        install_signal_handlers=False)
+    if args.ckpt:
+        pipeline.load_ckpt(args.ckpt)
+
+    metrics = pipeline.evaluate(tb_prefix=args.split.upper())
+    print({k: round(v, 6) for k, v in metrics.items()})
+
+    if args.ap and cfg["model"]["type"] in ("dr-spaam", "spatial_drow",
+                                            "flow_drow", "drow"):
+        from planar_optical_flow_tpu.infer import StreamingRunner
+        from planar_optical_flow_tpu.eval import evaluate_detection_ap
+
+        runner = StreamingRunner(
+            pipeline.model, pipeline.state.variables,
+            cfg["dataset"].get("cutout_kwargs", {}),
+        )
+        ds = pipeline.val_set or pipeline.train_set
+        ap = evaluate_detection_ap(runner, ds)
+        print({k: round(v, 6) if isinstance(v, float) else v
+               for k, v in ap.items()})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

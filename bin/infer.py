@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Streaming joint detection+flow inference over a scan sequence
+(reference ``depracted_scripts/infer_person_flow.py``):
+
+    python bin/infer.py --cfg configs/dr_spaam.yaml --ckpt CKPT \
+        --sequence data/DROWv2-data/test/seq.csv [--video out.mp4]
+
+Feeds each scan through the jitted streaming step (cutout + backbone +
+template memory + NMS on device) and optionally renders a video.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+# allow `python bin/<tool>.py` without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--sequence", required=True,
+                        help="path to a DROW .csv scan file (stem ok)")
+    parser.add_argument("--max-frames", type=int, default=0)
+    parser.add_argument("--video", default=None)
+    parser.add_argument("--conf", type=float, default=0.5)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from planar_optical_flow_tpu.utils.config import load_config
+    from planar_optical_flow_tpu.pipeline import normalize_config
+    from planar_optical_flow_tpu.models import get_model
+    from planar_optical_flow_tpu.infer import StreamingRunner
+    from planar_optical_flow_tpu.data import drow_io
+    from planar_optical_flow_tpu.train import checkpoint as ckpt_lib
+    from planar_optical_flow_tpu.train.state import create_train_state
+    import jax.numpy as jnp
+    import optax
+
+    cfg = normalize_config(load_config(args.cfg))
+    model = get_model(cfg["model"])
+
+    stem = args.sequence[:-4] if args.sequence.endswith(".csv") \
+        else args.sequence
+    _, _, scans = drow_io.load_scan_file(stem)
+    if args.max_frames:
+        scans = scans[: args.max_frames]
+
+    n_ct = cfg["dataset"].get("cutout_kwargs", {}).get("num_cutout_pts", 48)
+    x = jnp.zeros((1, 450, 2, n_ct))
+    example = (x, jnp.zeros((1, 450))) if cfg["model"]["type"] == "flow_drow" \
+        else (x,)
+    state = create_train_state(model, example, optax.identity(),
+                               init_kwargs={"train": False})
+    if args.ckpt:
+        state = ckpt_lib.restore_checkpoint(args.ckpt, state)
+
+    runner = StreamingRunner(model, state.variables,
+                             cfg["dataset"].get("cutout_kwargs", {}))
+
+    all_out = []
+    for i, scan in enumerate(scans):
+        out = runner(scan[None])
+        keep = np.asarray(out["det_keep"][0])
+        conf = np.asarray(out["det_cls"][0])[:, 0]
+        sel = keep & (conf >= args.conf)
+        dets = np.asarray(out["det_xys"][0])[sel]
+        all_out.append(
+            {"dets": dets, "conf": conf[sel],
+             "flow": np.asarray(out["pred_flow"][0])
+             if "pred_flow" in out else None}
+        )
+        if i % 50 == 0:
+            print(f"frame {i}: {len(dets)} detections")
+
+    if args.video:
+        from planar_optical_flow_tpu.utils import viz
+
+        viz.render_detection_video(scans, all_out, args.video)
+        print(f"video written to {args.video}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -201,6 +201,17 @@ class DrowDetectionDataset:
         self.target_reg = np.asarray(reg)
         self.target_flow = np.asarray(flow)
         self.exclude_mask = np.asarray(mask)
+        # padded GT detections (sensor polar) for AP evaluation
+        self.dets_rphi = np.stack(det_rphi)
+        self.dets_valid = np.stack(det_val)
+
+    def gt_centers(self, idx) -> np.ndarray:
+        """GT detection centers of one sample in sensor xy, ``(N, 2)``."""
+        rphi = self.dets_rphi[idx][self.dets_valid[idx]]
+        return np.stack(
+            (rphi[:, 0] * np.cos(rphi[:, 1]), rphi[:, 0] * np.sin(rphi[:, 1])),
+            axis=-1,
+        ) if len(rphi) else np.zeros((0, 2), np.float32)
 
     def __len__(self):
         return len(self.stack_idx)

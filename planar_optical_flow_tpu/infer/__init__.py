@@ -1,0 +1,9 @@
+"""Inference APIs: stateful streaming detection+flow, batch offline
+inference, box regression."""
+
+from planar_optical_flow_tpu.infer.streaming import (  # noqa: F401
+    StreamingState,
+    make_stream_step,
+    StreamingRunner,
+)
+from planar_optical_flow_tpu.infer.box_regressor import BoxRegressor  # noqa: F401

@@ -1,0 +1,140 @@
+"""Box-regression inference API.
+
+Rebuild of the reference ``box_regressor.py:9-105``: given detection centers
+on a point cloud, crop a radius segment around each, resample it to the
+network's fixed input size, run the regressor, and de-canonicalize the
+prediction back to a global box ``[cx, cy, (cz), l, w, (h), rot_z]``.
+
+The crop/resample is host-side numpy (variable-length segments); the network
+forward is one jitted batched call for ALL detections of a frame at once
+(the reference loops one detection per call).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from planar_optical_flow_tpu.models.pointnet import BoundingBoxRegressor
+from planar_optical_flow_tpu.train import checkpoint as ckpt_lib
+
+
+def resample_segment(segment: np.ndarray, size: int,
+                     rng: np.random.Generator | None = None) -> np.ndarray:
+    """Shuffle+truncate or repeat+pad a variable-length segment to ``size``
+    points (reference ``jrdb_dataset.py:139-149`` — already TPU-shaped)."""
+    rng = rng or np.random.default_rng(0)
+    seg = segment.copy()
+    if len(seg) >= size:
+        rng.shuffle(seg)
+        return seg[:size]
+    repeat = size // len(seg)
+    pad = size % len(seg)
+    rng.shuffle(seg)
+    seg = np.repeat(seg, repeat, axis=0)
+    seg = np.vstack([seg, seg[:pad]])
+    rng.shuffle(seg)
+    return seg
+
+
+class BoxRegressor:
+    """Callable box regressor over (points, detection centers).
+
+    Args mirror the reference's config surface: ``input_size``,
+    ``radius_segment``, ``is_3d``, ``input_with_angle``.
+    """
+
+    def __init__(self, variables, cfg: dict, seed: int = 0):
+        self.cfg = cfg
+        self.is_3d = cfg.get("is_3d", True)
+        self.input_size = cfg.get("input_size", 256)
+        self.radius = cfg.get("radius_segment", 0.4)
+        self.input_with_angle = cfg.get("input_with_angle", True)
+        self.min_segment_size = cfg.get("min_segment_size", 1)
+        self._rng = np.random.default_rng(seed)
+
+        in_dim = (3 if self.is_3d else 2) + (1 if self.input_with_angle else 0)
+        tgt_dim = 5 if self.is_3d else 3
+        self.model = BoundingBoxRegressor(
+            input_dim=in_dim, target_dim=tgt_dim,
+            dropout=cfg.get("dropout", 0.0),
+        )
+        self.variables = variables
+        self._forward = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_path: str, cfg: dict, **kw):
+        import optax
+
+        from planar_optical_flow_tpu.train.state import create_train_state
+
+        self = cls(None, cfg, **kw)
+        dummy = jnp.zeros((1, self.input_size, self.model.input_dim))
+        state = create_train_state(
+            self.model, (dummy,), optax.identity(),
+            init_kwargs={"train": False},
+        )
+        state = ckpt_lib.restore_checkpoint(ckpt_path, state)
+        self.variables = state.variables
+        return self
+
+    def generate_segments(self, points: np.ndarray, det_centers: np.ndarray):
+        """Radius-crop + resample one segment per detection center
+        (reference ``generate_segment``, ``box_regressor.py:94-105``)."""
+        segs, ok = [], []
+        dim = 3 if self.is_3d else 2
+        pts = points[:, :dim]
+        for c in det_centers:
+            d = np.linalg.norm(pts[:, :2] - c[None, :2], axis=1)
+            seg = pts[d <= self.radius]
+            if len(seg) < max(self.min_segment_size, 1):
+                segs.append(np.zeros((self.input_size, dim), np.float32))
+                ok.append(False)
+                continue
+            segs.append(
+                resample_segment(seg, self.input_size, self._rng).astype(
+                    np.float32
+                )
+            )
+            ok.append(True)
+        return np.stack(segs), np.asarray(ok)
+
+    def __call__(self, points: np.ndarray, det_centers: np.ndarray,
+                 det_oris: np.ndarray | None = None):
+        """Regress one box per detection center.
+
+        Returns ``(N, 7)`` ``[cx, cy, cz, l, w, h, rot_z]`` when 3D, else
+        ``(N, 5)`` ``[cx, cy, l, w, rot_z]``, plus the validity mask.
+        """
+        det_centers = np.atleast_2d(det_centers)
+        n = len(det_centers)
+        if det_oris is None:
+            det_oris = np.zeros(n, np.float32)
+        segs, ok = self.generate_segments(points, det_centers)
+
+        inputs = segs - det_centers[:, None, : segs.shape[-1]]
+        if self.input_with_angle:
+            ang = np.broadcast_to(
+                det_oris[:, None, None], (n, self.input_size, 1)
+            )
+            inputs = np.concatenate([inputs, ang], axis=-1)
+
+        pred = np.asarray(self._forward(self.variables,
+                                        jnp.asarray(inputs)))
+        if self.is_3d:
+            cz = pred[:, 0] + det_centers[:, 2]
+            rot = pred[:, -1] + det_oris
+            boxes = np.column_stack(
+                [det_centers[:, 0], det_centers[:, 1], cz,
+                 pred[:, 1], pred[:, 2], pred[:, 3], rot]
+            )
+        else:
+            rot = pred[:, -1] + det_oris
+            boxes = np.column_stack(
+                [det_centers[:, 0], det_centers[:, 1],
+                 pred[:, 0], pred[:, 1], rot]
+            )
+        return boxes, ok

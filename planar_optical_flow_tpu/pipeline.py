@@ -1,0 +1,248 @@
+"""Pipeline facade: config tree -> (model, task, datasets, trainer).
+
+Public surface mirrors the reference ``src/pipeline/pipeline.py:6-36``
+(``Pipeline(cfg).train() / evaluate() / load_ckpt() / load_sigterm_ckpt()``)
+but covers every workload, not just box regression. Accepts both reference
+config styles (SURVEY §2.12):
+
+* nested (``train_3d_box_regression.yaml``): ``dataset / dataloader / model /
+  pipeline.{Trainer,Optim,Logger}``
+* flat DROW style (``dr_spaam.yaml``): ``epochs / batch_size / num_scans /
+  network / cutout_kwargs / similarity_kwargs / ...``
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from planar_optical_flow_tpu.models import get_model
+from planar_optical_flow_tpu.train import (
+    Trainer,
+    create_train_state,
+    make_optimizer,
+    exp_decay_schedule,
+    tasks,
+)
+from planar_optical_flow_tpu.train import checkpoint as ckpt_lib
+from planar_optical_flow_tpu.utils.logger import RunLogger
+from planar_optical_flow_tpu.data import BatchLoader
+from planar_optical_flow_tpu.parallel import make_mesh
+
+
+def normalize_config(cfg: dict) -> dict:
+    """Flat DROW-style config -> nested pipeline config."""
+    if "pipeline" in cfg:
+        return cfg
+    model_type = cfg.get("model_type")
+    if model_type is None:
+        net = cfg.get("network", "cutout_spatial")
+        model_type = {
+            "cutout": "drow",
+            "cutout_gating": "dr-spaam",
+            "cutout_spatial": "flow_drow" if cfg.get("with_flow", True)
+            else "dr-spaam",
+        }.get(net, "dr-spaam")
+    sim = cfg.get("similarity_kwargs", {})
+    nested = {
+        "name": cfg.get("name", "run"),
+        "workload": cfg.get("workload", "detection"),
+        "dataset": {
+            "data_dir": cfg.get("data_dir", "./data/DROWv2-data"),
+            "num_scans": cfg.get("num_scans", 5),
+            "pedestrian_only": cfg.get("pedestrian_only", False),
+            "train_with_val": cfg.get("train_with_val", False),
+            "use_augmentation": cfg.get("use_data_augumentation", False),
+            "cutout_kwargs": cfg.get("cutout_kwargs", {}),
+            "polar_grid_kwargs": cfg.get("polar_grid_kwargs", {}),
+        },
+        "dataloader": {
+            "batch_size": cfg.get("batch_size", 8),
+            "num_workers": cfg.get("num_workers", 0),
+        },
+        "model": {
+            "type": model_type,
+            "dropout": cfg.get("dropout", 0.0),
+            "alpha": sim.get("alpha", 0.5),
+            "window_size": sim.get("window_size", 7),
+            "pedestrian_only": cfg.get("pedestrian_only", False),
+            "focal_loss_gamma": cfg.get("focal_loss_gamma", 0.0),
+        },
+        "pipeline": {
+            "Trainer": {
+                "grad_norm_clip": cfg.get("grad_norm_clip", 0.0),
+                "ckpt_interval": cfg.get("ckpt_interval", 5),
+                "eval_interval": cfg.get("eval_interval", 5),
+                "epoch": cfg.get("epochs", 1),
+            },
+            "Optim": {
+                "scheduler_kwargs": cfg.get(
+                    "scheduler_kwargs",
+                    {"epoch0": 0, "lr0": 1e-3,
+                     "epoch1": cfg.get("epochs", 1), "lr1": 1e-6},
+                ),
+            },
+            "Logger": {
+                "log_dir": cfg.get("log_dir", "./logs"),
+                "tag": cfg.get("name", cfg.get("tag", "run")) or "run",
+                "log_fname": "log.txt",
+                "backup_list": [],
+            },
+        },
+    }
+    return nested
+
+
+def _build_task(cfg: dict):
+    mtype = cfg["model"]["type"]
+    ds = cfg["dataset"]
+    if mtype in ("flow_unet", "prototype", "prototype_test"):
+        return tasks.FlowUNetTask()
+    if mtype == "box_reg":
+        return tasks.BoxRegressionTask(is_3d=ds.get("is_3d", True))
+    common = dict(
+        cutout_kwargs=ds.get("cutout_kwargs", {}),
+        focal_loss_gamma=cfg["model"].get("focal_loss_gamma", 0.0),
+        pedestrian_only=cfg["model"].get("pedestrian_only", False),
+    )
+    if mtype == "flow_drow":
+        return tasks.FlowDrowTask(**common)
+    return tasks.DetectionTask(**common)
+
+
+def _build_datasets(cfg: dict, synthetic_dir: str | None = None):
+    from planar_optical_flow_tpu.data import (
+        FlowScanPairDataset,
+        DrowDetectionDataset,
+    )
+    from planar_optical_flow_tpu.data.jrdb import JrdbBoxRegressionDataset
+
+    ds = cfg["dataset"]
+    data_dir = synthetic_dir or ds["data_dir"]
+    mtype = cfg["model"]["type"]
+    if mtype in ("flow_unet", "prototype", "prototype_test"):
+        train = FlowScanPairDataset(
+            data_dir, "train", train_with_val=ds.get("train_with_val", False)
+        )
+        try:
+            val = FlowScanPairDataset(data_dir, "val")
+        except FileNotFoundError:
+            val = None
+        return train, val
+    if mtype == "box_reg":
+        train = JrdbBoxRegressionDataset("train", {**ds, "data_dir": data_dir})
+        try:
+            val = JrdbBoxRegressionDataset("val", {**ds, "data_dir": data_dir})
+        except FileNotFoundError:
+            val = None
+        return train, val
+    kwargs = dict(
+        num_scans=ds.get("num_scans", 5),
+        pedestrian_only=ds.get("pedestrian_only", False),
+        use_augmentation=ds.get("use_augmentation", False),
+    )
+    train = DrowDetectionDataset(
+        data_dir, "train",
+        train_with_val=ds.get("train_with_val", False), **kwargs,
+    )
+    try:
+        val = DrowDetectionDataset(data_dir, "val", **kwargs)
+    except FileNotFoundError:
+        val = None
+    return train, val
+
+
+def _example_inputs(cfg: dict, batch_size: int):
+    mtype = cfg["model"]["type"]
+    ds = cfg["dataset"]
+    if mtype in ("flow_unet", "prototype", "prototype_test"):
+        x = jnp.zeros((batch_size, 450, 2))
+        return (x, x)
+    if mtype == "box_reg":
+        in_dim = cfg["model"].get("input_dim", 4)
+        size = ds.get("input_size", 256)
+        return (jnp.zeros((batch_size, size, in_dim)),)
+    n_ct = ds.get("cutout_kwargs", {}).get("num_cutout_pts", 48)
+    s = ds.get("num_scans", 5) + 1
+    x = jnp.zeros((batch_size, 450, s, n_ct))
+    if mtype == "flow_drow":
+        return (x, jnp.zeros((batch_size, 450)))
+    return (x,)
+
+
+class Pipeline:
+    def __init__(self, cfg: dict, synthetic_dir: str | None = None,
+                 use_mesh: bool = True, install_signal_handlers: bool = True):
+        cfg = normalize_config(cfg)
+        self.cfg = cfg
+        pcfg = cfg["pipeline"]
+        self.logger = RunLogger(pcfg["Logger"])
+        self.task = _build_task(cfg)
+        self.model = get_model(cfg["model"])
+        self.train_set, self.val_set = _build_datasets(cfg, synthetic_dir)
+
+        bsz = cfg["dataloader"]["batch_size"]
+        self.train_loader = BatchLoader(self.train_set, bsz, shuffle=True)
+        self.val_loader = (
+            BatchLoader(self.val_set, bsz, shuffle=False)
+            if self.val_set is not None and len(self.val_set) >= bsz else None
+        )
+
+        steps_per_epoch = max(len(self.train_loader), 1)
+        optim_cfg = dict(pcfg["Optim"])
+        optim_cfg.setdefault(
+            "grad_norm_clip", pcfg["Trainer"].get("grad_norm_clip", 0.0)
+        )
+        self.tx = make_optimizer(optim_cfg, steps_per_epoch)
+        sk = optim_cfg.get("scheduler_kwargs", {})
+        schedule = exp_decay_schedule(
+            sk.get("epoch0", 0), sk.get("lr0", 1e-3),
+            sk.get("epoch1", 100), sk.get("lr1", 1e-6), steps_per_epoch,
+        )
+
+        self.state = create_train_state(
+            self.model, _example_inputs(cfg, bsz), self.tx,
+            init_kwargs={"train": False},
+        )
+        mesh = None
+        if use_mesh:
+            try:
+                mesh = make_mesh()
+                if bsz % mesh.devices.size != 0:
+                    mesh = None  # fall back to single-device jit
+            except Exception:
+                mesh = None
+        self.trainer = Trainer(
+            self.logger, pcfg["Trainer"], self.task, lr_schedule=schedule,
+            mesh=mesh, install_signal_handlers=install_signal_handlers,
+        )
+
+    # ------------------------------------------------------------- control
+
+    def train(self):
+        self.state, rc = self.trainer.train(
+            self.state, self.train_loader, self.val_loader
+        )
+        return rc
+
+    def evaluate(self, loader=None, tb_prefix="TEST"):
+        loader = loader or self.val_loader or self.train_loader
+        return self.trainer.evaluate(self.state, loader, tb_prefix=tb_prefix)
+
+    def load_ckpt(self, path: str):
+        self.state = ckpt_lib.restore_checkpoint(path, self.state)
+
+    def save_ckpt(self, name: str = "ckpt_final"):
+        return ckpt_lib.save_checkpoint(
+            os.path.join(self.logger.ckpt_dir, name), self.state
+        )
+
+    def sigterm_ckpt_exists(self) -> bool:
+        return os.path.isdir(self.logger.sigterm_ckpt)
+
+    def load_sigterm_ckpt(self):
+        self.state = ckpt_lib.restore_checkpoint(
+            self.logger.sigterm_ckpt, self.state
+        )

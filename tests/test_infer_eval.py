@@ -1,0 +1,137 @@
+"""Streaming inference, detection AP, baselines, pipeline facade."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from planar_optical_flow_tpu.models import SpatialDrow, FlowDrow
+from planar_optical_flow_tpu.infer import StreamingRunner, BoxRegressor
+from planar_optical_flow_tpu.eval import (
+    match_detections,
+    precision_recall_curve,
+    average_precision,
+    peak_f1,
+    evaluate_detection_ap,
+    mean_box_baseline,
+)
+
+KEY = jax.random.PRNGKey(0)
+CUTOUT_KW = dict(fixed=True, centered=True, window_width=1.0,
+                 window_depth=0.5, num_cutout_pts=16, padding_val=29.99,
+                 area_mode=False)
+
+
+def test_streaming_runner_spatial_drow(rng):
+    model = SpatialDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, 450, 1, 16))
+    variables = model.init(KEY, x, train=False)
+    runner = StreamingRunner(model, variables, CUTOUT_KW)
+    for i in range(3):
+        scan = rng.uniform(0.5, 20.0, (2, 450)).astype(np.float32)
+        out = runner(scan)
+    assert np.asarray(out["pred_cls"]).shape == (2, 450, 1)
+    assert np.asarray(out["det_xys"]).shape == (2, 450, 2)
+    assert np.asarray(out["det_keep"]).dtype == bool
+    # confidences are probabilities after sigmoid
+    probs = np.asarray(out["pred_cls"])
+    assert (probs >= 0).all() and (probs <= 1).all()
+    runner.reset()
+    out2 = runner(scan)
+    assert np.asarray(out2["pred_cls"]).shape == (2, 450, 1)
+
+
+def test_streaming_runner_flow_drow(rng):
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, 450, 1, 16))
+    variables = model.init(KEY, x, jnp.zeros((1, 450)), train=False)
+    runner = StreamingRunner(model, variables, CUTOUT_KW)
+    scan = rng.uniform(0.5, 20.0, (1, 450)).astype(np.float32)
+    out = runner(scan)
+    assert np.asarray(out["pred_flow"]).shape == (1, 450, 2)
+
+
+# ------------------------------------------------------------------ AP
+
+
+def test_match_detections_simple():
+    gt = np.array([[0.0, 0.0], [5.0, 0.0]])
+    det = np.array([[0.1, 0.0], [5.2, 0.1], [10.0, 0.0]])
+    conf = np.array([0.9, 0.8, 0.7])
+    tp, conf_sorted, n = match_detections(det, conf, gt, radius=0.5)
+    assert n == 2
+    np.testing.assert_array_equal(tp, [True, True, False])
+
+
+def test_match_detections_one_per_gt():
+    """Two detections near the same GT: only the higher-conf one matches."""
+    gt = np.array([[0.0, 0.0]])
+    det = np.array([[0.1, 0.0], [0.0, 0.1]])
+    conf = np.array([0.5, 0.9])
+    tp, conf_sorted, _ = match_detections(det, conf, gt, radius=0.5)
+    np.testing.assert_array_equal(tp, [True, False])  # sorted by conf desc
+    assert conf_sorted[0] == 0.9
+
+
+def test_ap_perfect_and_worst():
+    gt = np.array([[0.0, 0.0], [3.0, 0.0]])
+    perfect = [(gt + 0.01, np.array([0.9, 0.8]), gt)]
+    p, r, _ = precision_recall_curve(perfect)
+    assert average_precision(p, r) == pytest.approx(1.0)
+    assert peak_f1(p, r) == pytest.approx(1.0)
+
+    wrong = [(np.array([[50.0, 50.0]]), np.array([0.9]), gt)]
+    p, r, _ = precision_recall_curve(wrong)
+    assert average_precision(p, r) == pytest.approx(0.0)
+
+
+def test_ap_mixed():
+    gt = np.array([[0.0, 0.0], [3.0, 0.0]])
+    frames = [
+        (np.array([[0.05, 0.0], [9.0, 9.0]]), np.array([0.9, 0.8]), gt),
+    ]
+    p, r, _ = precision_recall_curve(frames)
+    ap = average_precision(p, r)
+    assert 0.0 < ap < 1.0
+
+
+# ------------------------------------------------------------ baseline
+
+
+class _FakeBoxDataset:
+    def __init__(self, rng, n=64):
+        dims = rng.uniform(0.4, 1.2, size=(n, 3))
+        centers = rng.uniform(-5, 5, size=(n, 3))
+        rots = rng.uniform(-np.pi, np.pi, size=(n, 1))
+        self.targets = np.hstack([centers, dims, rots])
+        self.dets_center = centers + rng.normal(scale=0.05, size=(n, 3))
+
+
+def test_mean_box_baseline(rng):
+    ds = _FakeBoxDataset(rng)
+    out = mean_box_baseline(ds)
+    assert 0.0 < out["iou"] <= 1.0
+    assert out["loss_dim"] > 0
+
+
+# ---------------------------------------------------------- AP end-to-end
+
+
+def test_evaluate_detection_ap_with_synthetic(tmp_path, rng):
+    from planar_optical_flow_tpu.data import (
+        write_synthetic_drow_split, DrowDetectionDataset,
+    )
+
+    d = str(tmp_path)
+    write_synthetic_drow_split(d, "train", num_sequences=1, num_frames=12)
+    ds = DrowDetectionDataset(d, "train", num_scans=2, pedestrian_only=True)
+    assert len(ds) > 0
+    assert ds.gt_centers(0).shape[1] == 2
+
+    model = SpatialDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, 450, 1, 16))
+    variables = model.init(KEY, x, train=False)
+    runner = StreamingRunner(model, variables, CUTOUT_KW)
+    out = evaluate_detection_ap(runner, ds, conf_thresh=0.5)
+    assert 0.0 <= out["ap"] <= 1.0
+    assert out["num_frames"] == len(ds)
