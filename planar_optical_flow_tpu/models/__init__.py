@@ -27,4 +27,8 @@ from planar_optical_flow_tpu.models.pointnet import (  # noqa: F401
     TNet,
     BoundingBoxRegressor,
 )
+from planar_optical_flow_tpu.models.adaboost_detector import (  # noqa: F401
+    AdaBoostPersonDetector,
+    BoostedSegmentClassifier,
+)
 from planar_optical_flow_tpu.models.registry import get_model, MODEL_REGISTRY  # noqa: F401

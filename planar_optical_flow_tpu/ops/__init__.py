@@ -27,7 +27,11 @@ from planar_optical_flow_tpu.ops.targets import (  # noqa: F401
 from planar_optical_flow_tpu.ops.cutout import scans_to_cutout  # noqa: F401
 from planar_optical_flow_tpu.ops.polar_grid import scans_to_polar_grid  # noqa: F401
 from planar_optical_flow_tpu.ops.nms import nms_predicted_center  # noqa: F401
-from planar_optical_flow_tpu.ops.rotated_iou import rotated_iou, rotated_iou_3d  # noqa: F401
+from planar_optical_flow_tpu.ops.rotated_iou import (  # noqa: F401
+    rotated_iou,
+    rotated_iou_3d,
+    aabb_iou,
+)
 from planar_optical_flow_tpu.ops.losses import (  # noqa: F401
     epe_loss,
     epe_aae,

@@ -151,6 +151,26 @@ def rotated_iou(boxes, query_boxes, criterion: int = -1):
     return f(boxes, query_boxes)
 
 
+def aabb_iou(box1, box2):
+    """Axis-aligned IoU of ``[cx, cy, l, w]`` boxes (batched over leading
+    dims); the cheap helper the reference keeps alongside the rotated kernel
+    (``src/utils/eval_utils.py:643-664``)."""
+    box1 = jnp.asarray(box1)
+    box2 = jnp.asarray(box2)
+
+    def bounds(b):
+        return (b[..., 0] - 0.5 * b[..., 2], b[..., 0] + 0.5 * b[..., 2],
+                b[..., 1] - 0.5 * b[..., 3], b[..., 1] + 0.5 * b[..., 3])
+
+    x0a, x1a, y0a, y1a = bounds(box1)
+    x0b, x1b, y0b, y1b = bounds(box2)
+    iw = jnp.maximum(jnp.minimum(x1a, x1b) - jnp.maximum(x0a, x0b), 0.0)
+    ih = jnp.maximum(jnp.minimum(y1a, y1b) - jnp.maximum(y0a, y0b), 0.0)
+    inter = iw * ih
+    union = box1[..., 2] * box1[..., 3] + box2[..., 2] * box2[..., 3] - inter
+    return inter / jnp.maximum(union, _EPS)
+
+
 def rotated_iou_3d(boxes, query_boxes, criterion: int = -1):
     """Pairwise 3D rotated IoU of ``boxes (N, 7)`` vs ``query_boxes (K, 7)``,
     format ``[cx, cy, cz, l, w, h, rot_z]`` (z-aligned boxes)."""

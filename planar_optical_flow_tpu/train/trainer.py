@@ -46,6 +46,9 @@ class Trainer:
         self._ckpt_interval = cfg.get("ckpt_interval", 5)
         self._eval_interval = cfg.get("eval_interval", 5)
         self._max_epoch = cfg.get("epoch", cfg.get("epochs", 1))
+        # profile steps [start, stop) into {run_dir}/profile with
+        # jax.profiler (SURVEY §5 tracing row); empty tuple disables
+        self._profile_steps = tuple(cfg.get("profile_steps", ()))
         self._rng = jax.random.PRNGKey(seed)
 
         self._sigterm = False
@@ -138,12 +141,17 @@ class Trainer:
             for ib, batch in enumerate(train_loader):
                 if self._sigterm:
                     return self._preempt(state)
+                self._maybe_profile(int(state.step))
                 self._rng, step_rng = jax.random.split(self._rng)
+                t_step = time.time()
                 state, tb = self._train_step(
                     state, self._place(batch), step_rng
                 )
                 step = int(state.step)
-                loss = float(tb["loss"])
+                loss = float(tb["loss"])  # blocks: host-visible step time
+                self._logger.add_scalar(
+                    "TRAIN_step_ms", (time.time() - t_step) * 1000.0, step
+                )
                 epoch_loss += loss
                 n_done += 1
                 if self._lr_schedule is not None:
@@ -194,6 +202,22 @@ class Trainer:
             self._logger.add_scalar(f"{tb_prefix}_{k}", v, int(state.step))
             self._logger.info(f"{tb_prefix} {k}: {v:.6f}")
         return means
+
+    def _maybe_profile(self, step: int):
+        """Start/stop a jax.profiler trace around the configured window."""
+        if not self._profile_steps:
+            return
+        start, stop = self._profile_steps
+        if step == start:
+            import os
+
+            trace_dir = os.path.join(self._logger.run_dir, "profile")
+            jax.profiler.start_trace(trace_dir)
+            self._logger.info(f"profiler trace started -> {trace_dir}")
+        elif step == stop:
+            jax.profiler.stop_trace()
+            self._profile_steps = ()
+            self._logger.info("profiler trace stopped")
 
     def _preempt(self, state):
         ckpt_lib.save_checkpoint(self._logger.sigterm_ckpt, state)

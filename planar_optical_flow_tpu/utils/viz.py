@@ -136,6 +136,18 @@ def render_detection_video(scans, results, path: str, fps: int = 10,
     render_sequence_video(draw, len(scans), path, fps)
 
 
+def plot_histogram(data, title: str = "", num_bins: int = 50):
+    """Normalized histogram figure (reference ``utils.plot_histograms``)."""
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    data = np.asarray(data).reshape(-1)
+    ax.hist(data, bins=num_bins, weights=np.ones(len(data)) / max(len(data), 1))
+    ax.set_title(title)
+    ax.set_xlabel("variable value")
+    return fig
+
+
 def render_flow_video(scans, pred_flows, target_flows, path: str,
                       fps: int = 10, epe_list=None, aae_list=None):
     """GT-vs-pred arrow video (reference ``plot_sequence_gt_pred_arrow``)."""

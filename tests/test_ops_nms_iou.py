@@ -152,3 +152,17 @@ def test_iou_jit_batch(rng):
     iou = np.asarray(fn(boxes, gts))
     assert iou.shape == (32, 16)
     assert (iou >= -1e-6).all() and (iou <= 1.0 + 1e-5).all()
+
+
+def test_aabb_iou():
+    a = np.array([0.0, 0.0, 2.0, 2.0])
+    b = np.array([1.0, 0.0, 2.0, 2.0])
+    got = float(np.asarray(ops.aabb_iou(a, b)))
+    # inter 1x2=2, union 8-2=6
+    np.testing.assert_allclose(got, 2.0 / 6.0, rtol=1e-6)
+    # matches rotated kernel at angle 0
+    ra = np.concatenate([a, [0.0]])[None]
+    rb = np.concatenate([b, [0.0]])[None]
+    np.testing.assert_allclose(
+        got, float(np.asarray(ops.rotated_iou(ra, rb))[0, 0]), rtol=1e-5
+    )
