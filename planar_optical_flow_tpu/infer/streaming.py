@@ -51,9 +51,19 @@ def _encode_single(scan, phi, cutout_kwargs):
     return ct[:, :, 0, :]
 
 
+def cast_variables(variables, dtype):
+    """Cast float parameters/stats to ``dtype`` (e.g. bf16 serving)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        variables,
+    )
+
+
 def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
                      nms_min_dist: float = 0.5, with_nms: bool = True,
-                     donate_template: bool = True):
+                     donate_template: bool = True, compute_dtype=None):
     """Build the jitted per-scan step.
 
     Returns ``step(variables, template, scan) -> (new_template, outputs)``
@@ -64,6 +74,10 @@ def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
 
     The first call of a stream passes ``template=None`` (compiled as a
     separate bootstrap program).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``): run the network in reduced
+    precision — cutout index math and NMS stay f32; pass ``variables``
+    through :func:`cast_variables` with the same dtype.
     """
     phi = get_laser_phi(num_pts=num_pts)
     phi_j = jnp.asarray(phi, dtype=jnp.float32)
@@ -71,6 +85,9 @@ def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
 
     def step(variables, template, scan):
         cutouts = _encode_single(scan, phi, cutout_kwargs)
+        if compute_dtype is not None:
+            cutouts = cutouts.astype(compute_dtype)
+            scan = scan.astype(compute_dtype)
         if is_flow:
             pred_cls, pred_reg, pred_flow, new_template = model.apply(
                 variables, cutouts, scan, template, method="stream_step"
@@ -81,6 +98,12 @@ def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
             )
             pred_flow = None
 
+        if compute_dtype is not None:
+            pred_cls = pred_cls.astype(jnp.float32)
+            pred_reg = pred_reg.astype(jnp.float32)
+            scan = scan.astype(jnp.float32)
+            if pred_flow is not None:
+                pred_flow = pred_flow.astype(jnp.float32)
         probs = jax.nn.sigmoid(pred_cls)
         out = {"pred_cls": probs, "pred_reg": pred_reg}
         if pred_flow is not None:

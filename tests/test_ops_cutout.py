@@ -96,3 +96,48 @@ def test_cutout_normalized_range():
     phi = oracles.laser_phi()
     ct = np.asarray(ops.scans_to_cutout(scans, phi))
     assert ct.min() >= -1.0 - 1e-5 and ct.max() <= 1.0 + 1e-5
+
+
+def test_cutout_area_fast_close_to_exact(rng):
+    """The cumsum box-filter area mode tracks the reference oversampling
+    within interpolation tolerance on realistic scans."""
+    scans = _scans(rng)
+    phi = oracles.laser_phi()
+    kw = dict(num_cutout_pts=24, window_width=1.0, window_depth=0.5)
+    exact = np.asarray(
+        ops.scans_to_cutout(scans, phi, area_mode=True, area_s=9, **kw)
+    )
+    fast = np.asarray(
+        ops.scans_to_cutout(scans, phi, area_mode=True, area_fast=True, **kw)
+    )
+    # identical where area mode is inactive; close where active
+    diff = np.abs(exact - fast)
+    assert np.median(diff) < 1e-3
+    assert np.mean(diff) < 0.05
+    assert np.quantile(diff, 0.95) < 0.35
+
+
+def test_cutout_bf16_model_path(rng):
+    """Streaming with compute_dtype=bfloat16 produces outputs close to f32."""
+    import jax.numpy as jnp
+    from planar_optical_flow_tpu.models import SpatialDrow
+    from planar_optical_flow_tpu.infer.streaming import (
+        make_stream_step, cast_variables,
+    )
+
+    model = SpatialDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, 450, 1, 16))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    ck = dict(fixed=True, centered=True, window_width=1.0, window_depth=0.5,
+              num_cutout_pts=16, padding_val=29.99, area_mode=False)
+    scan = jnp.asarray(np.random.default_rng(0).uniform(0.5, 20.0, (1, 450)),
+                       dtype=jnp.float32)
+
+    step32 = make_stream_step(model, ck, donate_template=False)
+    _, out32 = step32(v, None, scan)
+    step16 = make_stream_step(model, ck, donate_template=False,
+                              compute_dtype=jnp.bfloat16)
+    _, out16 = step16(cast_variables(v, jnp.bfloat16), None, scan)
+    assert out16["pred_cls"].dtype == jnp.float32
+    d = np.abs(np.asarray(out32["pred_cls"]) - np.asarray(out16["pred_cls"]))
+    assert d.mean() < 0.05
