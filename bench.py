@@ -33,15 +33,20 @@ def main():
     cutout_kwargs = dict(
         fixed=True, centered=True, window_width=1.0, window_depth=0.5,
         num_cutout_pts=56, padding_val=29.99, area_mode=True,
+        gather_mode="matmul",  # MXU sampling path (f32-parity, ~4x gather)
     )  # dr_spaam.yaml working point
+
+    from planar_optical_flow_tpu.infer.streaming import cast_variables
 
     model = FlowDrow(window_size=11, pedestrian_only=True)
     x = jnp.zeros((1, num_pts, 1, 56))
     cur = jnp.zeros((1, num_pts))
     variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+    variables = cast_variables(variables, jnp.bfloat16)
 
     step = make_stream_step(model, cutout_kwargs, num_pts=num_pts,
-                            donate_template=True)
+                            donate_template=True,
+                            compute_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     scan = jnp.asarray(rng.uniform(0.5, 25.0, (batch, num_pts)),

@@ -32,6 +32,10 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=0)
     parser.add_argument("--video", default=None)
     parser.add_argument("--conf", type=float, default=0.5)
+    parser.add_argument("--world-frame", action="store_true",
+                        help="match odometry by timestamp and report "
+                             "detections/flow in the world frame "
+                             "(reference infer_person_flow.py:112-147)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -55,9 +59,16 @@ def main(argv=None):
 
     stem = args.sequence[:-4] if args.sequence.endswith(".csv") \
         else args.sequence
-    _, _, scans = drow_io.load_scan_file(stem)
+    _, scan_t, scans = drow_io.load_scan_file(stem)
     if args.max_frames:
         scans = scans[: args.max_frames]
+        scan_t = scan_t[: args.max_frames]
+
+    poses = None
+    if args.world_frame:
+        _, odom_t, odom = drow_io.load_odometry_file(stem)
+        match = np.argmin(np.abs(scan_t[:, None] - odom_t[None, :]), axis=1)
+        poses = odom[match]  # (T, 3) world pose per scan
 
     n_ct = cfg["dataset"].get("cutout_kwargs", {}).get("num_cutout_pts", 48)
     x = jnp.zeros((1, 450, 2, n_ct))
@@ -78,11 +89,17 @@ def main(argv=None):
         conf = np.asarray(out["det_cls"][0])[:, 0]
         sel = keep & (conf >= args.conf)
         dets = np.asarray(out["det_xys"][0])[sel]
-        all_out.append(
-            {"dets": dets, "conf": conf[sel],
-             "flow": np.asarray(out["pred_flow"][0])
-             if "pred_flow" in out else None}
-        )
+        flow = (np.asarray(out["pred_flow"][0])
+                if "pred_flow" in out else None)
+        if poses is not None:
+            # sensor -> world: rotate by heading, translate by pose
+            x, y, h = poses[i]
+            c, s = np.cos(h), np.sin(h)
+            rot = np.array([[c, -s], [s, c]])
+            dets = dets @ rot.T + [x, y]
+            if flow is not None:
+                flow = flow @ rot.T
+        all_out.append({"dets": dets, "conf": conf[sel], "flow": flow})
         if i % 50 == 0:
             print(f"frame {i}: {len(dets)} detections")
 

@@ -206,6 +206,13 @@ class Pipeline:
             self.model, _example_inputs(cfg, bsz), self.tx,
             init_kwargs={"train": False},
         )
+
+        # FlowDROW workflow: graft a pre-trained detector checkpoint into the
+        # frozen dr_spaam subtree (reference dr_spaam.py:294-298 loads
+        # ./pre_trained_ckpts/dr_spaam_e40.pth)
+        pretrained = cfg["model"].get("pretrained_detector")
+        if pretrained and cfg["model"]["type"] == "flow_drow":
+            self.load_pretrained_detector(pretrained)
         mesh = None
         if use_mesh:
             try:
@@ -238,6 +245,36 @@ class Pipeline:
         return ckpt_lib.save_checkpoint(
             os.path.join(self.logger.ckpt_dir, name), self.state
         )
+
+    def load_pretrained_detector(self, ckpt_path: str):
+        """Restore a SpatialDrow checkpoint and graft its weights into this
+        FlowDrow state's (frozen) ``dr_spaam`` subtree."""
+        import optax
+
+        from planar_optical_flow_tpu.models import SpatialDrow
+        from planar_optical_flow_tpu.train.state import (
+            create_train_state, load_pretrained_subtree,
+        )
+
+        mcfg = self.cfg["model"]
+        det = SpatialDrow(
+            dropout=mcfg.get("dropout", 0.0),
+            alpha=mcfg.get("alpha", 0.5),
+            window_size=mcfg.get("window_size", 7),
+            pedestrian_only=mcfg.get("pedestrian_only", False),
+        )
+        n_ct = self.cfg["dataset"].get("cutout_kwargs", {}).get(
+            "num_cutout_pts", 48
+        )
+        s = self.cfg["dataset"].get("num_scans", 5) + 1
+        x = jnp.zeros((1, 450, s, n_ct))
+        det_state = create_train_state(det, (x,), optax.identity(),
+                                       init_kwargs={"train": False})
+        det_state = ckpt_lib.restore_checkpoint(ckpt_path, det_state)
+        self.state = load_pretrained_subtree(
+            self.state, "dr_spaam", det_state.params, det_state.batch_stats
+        )
+        self.logger.info(f"grafted pre-trained detector from {ckpt_path}")
 
     def sigterm_ckpt_exists(self) -> bool:
         return os.path.isdir(self.logger.sigterm_ckpt)

@@ -141,3 +141,23 @@ def test_cutout_bf16_model_path(rng):
     assert out16["pred_cls"].dtype == jnp.float32
     d = np.abs(np.asarray(out32["pred_cls"]) - np.asarray(out16["pred_cls"]))
     assert d.mean() < 0.05
+
+
+def test_cutout_matmul_mode_parity(rng):
+    """The MXU one-hot sampling path matches the gather path to f32
+    tolerance, in both interp and area modes."""
+    scans = _scans(rng)
+    phi = oracles.laser_phi()
+    kw = dict(num_cutout_pts=24, window_width=1.0, window_depth=0.5)
+    g = np.asarray(ops.scans_to_cutout(scans, phi, **kw))
+    m = np.asarray(ops.scans_to_cutout(scans, phi, gather_mode="matmul", **kw))
+    np.testing.assert_allclose(m, g, atol=2e-3)
+
+    ga = np.asarray(
+        ops.scans_to_cutout(scans, phi, area_mode=True, area_fast=True, **kw)
+    )
+    ma = np.asarray(
+        ops.scans_to_cutout(scans, phi, area_mode=True, gather_mode="matmul",
+                            **kw)
+    )
+    np.testing.assert_allclose(ma, ga, atol=2e-3)
