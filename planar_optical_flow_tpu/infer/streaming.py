@@ -61,6 +61,104 @@ def cast_variables(variables, dtype):
     )
 
 
+def make_fused_stream_step(model, variables, cutout_kwargs,
+                           num_pts: int = 450, nms_min_dist: float = 0.5,
+                           with_nms: bool = True, compute_dtype=None,
+                           tile: int = 64, interpret: bool = False):
+    """Streaming step with the Pallas fused backbone/head kernels
+    (inference-only; BatchNorm folded from f32 ``variables``).
+
+    Returns ``step(template, scan) -> (template', outputs)`` — the folded
+    weights are closed over, so there is no ``variables`` argument.
+    """
+    from planar_optical_flow_tpu.ops.pallas import fused_drow as fd
+
+    phi = get_laser_phi(num_pts=num_pts)
+    phi_j = jnp.asarray(phi, dtype=jnp.float32)
+    is_flow = isinstance(model, FlowDrow)
+    det_vars = (
+        {"params": variables["params"]["dr_spaam"],
+         "batch_stats": variables["batch_stats"]["dr_spaam"]}
+        if is_flow else variables
+    )
+    w_bb = fd.backbone_weights({
+        "params": det_vars["params"]["backbone"],
+        "batch_stats": det_vars["batch_stats"]["backbone"],
+    })
+    w_hd = fd.head_weights({
+        "params": det_vars["params"]["head"],
+        "batch_stats": det_vars["batch_stats"]["head"],
+    })
+    num_classes = det_vars["params"]["head"]["cls"]["kernel"].shape[-1]
+    cdt = compute_dtype or jnp.float32
+    gate_vars = cast_variables(variables, cdt) if compute_dtype else variables
+
+    def gate_apply(feats, template):
+        if is_flow:
+            fn = lambda m, a, b: m.dr_spaam.gate(a, b, train=False)
+        else:
+            fn = lambda m, a, b: m.gate(a, b, train=False)
+        return model.apply(gate_vars, feats, template, method=fn)
+
+    def flow_apply(sim, cur_scan):
+        return model.apply(
+            gate_vars, sim, cur_scan,
+            method=lambda m, s, c: m._flow_head(s, c, train=False),
+        )
+
+    def step(template, scan):
+        b = scan.shape[0]
+        cutouts = _encode_single(scan, phi, cutout_kwargs)  # (B, P, C)
+        feats = fd.fused_backbone(
+            cutouts.reshape(b * num_pts, -1), w_bb, tile=tile,
+            compute_dtype=cdt, interpret=interpret,
+        )
+        feats = feats.reshape(b, num_pts, feats.shape[-2], feats.shape[-1])
+        if compute_dtype is not None:
+            feats = feats.astype(compute_dtype)
+        if template is None:
+            new_template = feats
+            _, sim = gate_apply(feats, feats)
+        else:
+            new_template, sim = gate_apply(feats, template)
+        cls, reg = fd.fused_head(
+            new_template.astype(jnp.float32).reshape(
+                b * num_pts, feats.shape[-2], feats.shape[-1]
+            ),
+            w_hd, num_classes=num_classes, tile=tile,
+            compute_dtype=cdt, interpret=interpret,
+        )
+        pred_cls = cls.reshape(b, num_pts, -1)
+        pred_reg = reg.reshape(b, num_pts, 2)
+        out = {"pred_cls": jax.nn.sigmoid(pred_cls), "pred_reg": pred_reg}
+        if is_flow:
+            flow = flow_apply(
+                sim, scan.astype(cdt) if compute_dtype else scan
+            ).astype(jnp.float32)
+            out["pred_flow"] = canonical_to_global_flow(flow, phi_j)
+        if with_nms:
+            probs = out["pred_cls"]
+            conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
+            det_xys, det_cls, keep, inst = jax.vmap(
+                lambda s, c, r: nms_predicted_center(
+                    s, phi_j, c, r, min_dist=nms_min_dist
+                )
+            )(scan, conf, pred_reg)
+            out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
+                       instance_mask=inst)
+        return new_template, out
+
+    step_boot = jax.jit(lambda s: step(None, s))
+    step_carry = jax.jit(step, donate_argnums=(0,))
+
+    def dispatch(template, scan):
+        if template is None:
+            return step_boot(scan)
+        return step_carry(template, scan)
+
+    return dispatch
+
+
 def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
                      nms_min_dist: float = 0.5, with_nms: bool = True,
                      donate_template: bool = True, compute_dtype=None):
@@ -129,6 +227,47 @@ def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
         return step_carry(variables, template, scan)
 
     return dispatch
+
+
+def make_sequence_processor(model, cutout_kwargs, num_pts: int = 450,
+                            nms_min_dist: float = 0.5, with_nms: bool = True,
+                            compute_dtype=None):
+    """Offline batch processing: run a whole scan sequence through the
+    streaming cell inside ONE jitted program (``lax.scan`` over time).
+
+    ``process(variables, scans (T, B, P), template=None) ->
+    (final_template, outputs stacked over T)``. Amortizes per-step dispatch
+    and lets XLA pipeline consecutive scans — the throughput mode for
+    offline evaluation; the per-step API remains for live serving.
+    """
+    inner = make_stream_step(model, cutout_kwargs, num_pts, nms_min_dist,
+                             with_nms, donate_template=False,
+                             compute_dtype=compute_dtype)
+
+    # unwrap: we need the raw (uncompiled) step; rebuild it here
+    phi = get_laser_phi(num_pts=num_pts)
+
+    def process(variables, scans, template=None):
+        if template is None:
+            template, first = inner(variables, None, scans[0])
+            rest = scans[1:]
+        else:
+            first = None
+            rest = scans
+
+        def body(carry, scan):
+            new_carry, out = inner(variables, carry, scan)
+            return new_carry, out
+
+        template, outs = jax.lax.scan(body, template, rest)
+        if first is not None:
+            outs = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                first, outs,
+            )
+        return template, outs
+
+    return jax.jit(process, static_argnames=())
 
 
 class StreamingRunner:

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from planar_optical_flow_tpu.ops.geometry import canonical_to_global, rphi_to_xy
 
 
-def nms_predicted_center(scan, scan_phi, pred_cls, pred_reg, min_dist: float = 0.5):
+def nms_predicted_center(scan, scan_phi, pred_cls, pred_reg,
+                         min_dist: float = 0.5, method: str = "fori"):
     """Greedy center NMS over one scan.
 
     Args:
@@ -25,6 +26,10 @@ def nms_predicted_center(scan, scan_phi, pred_cls, pred_reg, min_dist: float = 0
       pred_cls: ``(P, 1)`` confidences (already sigmoided).
       pred_reg: ``(P, 2)`` canonical-frame center votes.
       min_dist: suppression radius in meters.
+      method: ``"fori"`` — one loop step per point (data-independent trip
+        count); ``"while"`` — one loop step per *kept detection* (exact same
+        greedy result, typically 10-50x fewer sequential steps when
+        detections are sparse).
 
     Returns:
       det_xys: ``(P, 2)`` voted centers sorted by descending confidence.
@@ -46,19 +51,47 @@ def nms_predicted_center(scan, scan_phi, pred_cls, pred_reg, min_dist: float = 0
     dist = jnp.hypot(xs[:, None] - xs[None, :], ys[:, None] - ys[None, :])
     close = dist < min_dist
 
-    def body(i, carry):
-        keep, inst, next_id = carry
-        active = keep[i]
-        dup = jnp.logical_and(close[i], active)
-        # suppress everything close to i, but i itself stays kept
-        keep = jnp.logical_and(keep, jnp.logical_not(dup)).at[i].set(active)
-        inst = jnp.where(dup, next_id, inst)
-        next_id = jnp.where(active, next_id + 1, next_id)
-        return keep, inst, next_id
-
     keep0 = jnp.ones(num_pts, dtype=bool)
     inst0 = jnp.zeros(num_pts, dtype=jnp.int32)
-    keep, inst_sorted, _ = jax.lax.fori_loop(0, num_pts, body, (keep0, inst0, 1))
+
+    if method == "while":
+        # greedy, but each iteration consumes the highest-confidence
+        # still-unprocessed survivor — iterations == #detections
+        idx = jnp.arange(num_pts)
+
+        def cond(carry):
+            keep, processed, inst, next_id = carry
+            return jnp.any(jnp.logical_and(keep, jnp.logical_not(processed)))
+
+        def body(carry):
+            keep, processed, inst, next_id = carry
+            cand = jnp.logical_and(keep, jnp.logical_not(processed))
+            # confidences are sorted descending: first candidate wins
+            i = jnp.argmax(cand)
+            dup = close[i]
+            keep = jnp.logical_and(keep, jnp.logical_not(dup)).at[i].set(True)
+            processed = processed.at[i].set(True)
+            inst = jnp.where(dup, next_id, inst)
+            return keep, processed, inst, next_id + 1
+
+        keep, _, inst_sorted, _ = jax.lax.while_loop(
+            cond, body,
+            (keep0, jnp.zeros(num_pts, dtype=bool), inst0, 1),
+        )
+    else:
+        def body(i, carry):
+            keep, inst, next_id = carry
+            active = keep[i]
+            dup = jnp.logical_and(close[i], active)
+            # suppress everything close to i, but i itself stays kept
+            keep = jnp.logical_and(keep, jnp.logical_not(dup)).at[i].set(active)
+            inst = jnp.where(dup, next_id, inst)
+            next_id = jnp.where(active, next_id + 1, next_id)
+            return keep, inst, next_id
+
+        keep, inst_sorted, _ = jax.lax.fori_loop(
+            0, num_pts, body, (keep0, inst0, 1)
+        )
 
     # instance ids back to original point order
     instance_mask = jnp.zeros(num_pts, dtype=jnp.int32).at[order].set(inst_sorted)

@@ -1,0 +1,147 @@
+"""Loader semantics, detection-dataset targets, config loader, viz smoke."""
+
+import os
+
+import numpy as np
+import pytest
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+from planar_optical_flow_tpu.data import BatchLoader
+from planar_optical_flow_tpu.utils.config import load_config
+from planar_optical_flow_tpu.utils import viz
+
+
+class _ToyDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def batch(self, idx):
+        return {"x": np.asarray(idx, dtype=np.int64)}
+
+
+def test_loader_drop_last():
+    loader = BatchLoader(_ToyDataset(10), batch_size=4, shuffle=False,
+                         prefetch=0)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 2
+    assert all(b["x"].shape == (4,) for b in batches)
+
+
+def test_loader_wrap_padding():
+    loader = BatchLoader(_ToyDataset(10), batch_size=4, shuffle=False,
+                         drop_last=False, prefetch=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    # tail batch padded to full size by wrapping
+    assert batches[-1]["x"].shape == (4,)
+    np.testing.assert_array_equal(batches[-1]["x"], [8, 9, 0, 1])
+
+
+def test_loader_shuffle_deterministic():
+    a = list(BatchLoader(_ToyDataset(16), 4, seed=3, prefetch=0))
+    b = list(BatchLoader(_ToyDataset(16), 4, seed=3, prefetch=0))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["x"], y["x"])
+    # covers every index exactly once
+    all_idx = np.concatenate([x["x"] for x in a])
+    assert sorted(all_idx.tolist()) == list(range(16))
+
+
+def test_loader_prefetch_matches_sync():
+    sync = list(BatchLoader(_ToyDataset(12), 4, seed=1, prefetch=0))
+    pre = list(BatchLoader(_ToyDataset(12), 4, seed=1, prefetch=2))
+    for x, y in zip(sync, pre):
+        np.testing.assert_array_equal(x["x"], y["x"])
+
+
+def test_load_config(tmp_path):
+    p = tmp_path / "myexp.yaml"
+    p.write_text("epochs: 3\ntag: abc\n")
+    cfg = load_config(str(p))
+    assert cfg["epochs"] == 3
+    assert cfg["name"] == "myexp_abc"
+    p2 = tmp_path / "noname.yaml"
+    p2.write_text("epochs: 1\n")
+    assert load_config(str(p2))["name"] == "noname"
+    assert load_config(str(p2), tag="t")["name"] == "noname_t"
+
+
+def test_detection_dataset_flow_target_semantics(tmp_path, rng):
+    """target_flow equals displacement_from_odometry in canonical frame for
+    the sample's own (odom0, odom1) pair."""
+    from planar_optical_flow_tpu.data import (
+        write_synthetic_drow_split, DrowDetectionDataset,
+    )
+    import planar_optical_flow_tpu.ops as ops
+    from planar_optical_flow_tpu.ops.geometry import get_laser_phi
+
+    d = str(tmp_path)
+    write_synthetic_drow_split(d, "train", num_sequences=1, num_frames=20)
+    ds = DrowDetectionDataset(d, "train", num_scans=2, flow_distance=3)
+    s = ds[0]
+    assert s["scans"].shape == (3, 450)  # num_scans + current
+    assert s["target_flow"].shape == (450, 2)
+    assert s["exclude_mask"].shape == (450,)
+    # flow magnitudes bounded by robot motion over the window
+    assert np.abs(s["target_flow"]).max() < 3.0
+    # masks: far returns excluded
+    far = ds.scans_flat[ds.cur_idx[0]] >= 20.0
+    assert (s["exclude_mask"][far] == 0).all()
+
+
+def test_detection_dataset_augmentation_flip(tmp_path):
+    from planar_optical_flow_tpu.data import (
+        write_synthetic_drow_split, DrowDetectionDataset,
+    )
+
+    d = str(tmp_path)
+    write_synthetic_drow_split(d, "train", num_sequences=1, num_frames=20)
+    ds = DrowDetectionDataset(d, "train", num_scans=2, use_augmentation=True,
+                              seed=1)
+    raw = ds._gather(np.arange(4))
+    # force a flip by trying many batches: statistics make >=1 flip certain
+    flipped_seen = False
+    for _ in range(10):
+        b = ds.batch(np.arange(4))
+        for i in range(4):
+            if not np.allclose(b["scans"][i], raw["scans"][i]):
+                flipped_seen = True
+                # flip is an exact reversal
+                np.testing.assert_allclose(
+                    b["scans"][i], raw["scans"][i][:, ::-1]
+                )
+    assert flipped_seen
+
+
+def test_viz_smoke(tmp_path, rng):
+    import matplotlib.pyplot as plt
+
+    scan = rng.uniform(1, 10, 450).astype(np.float32)
+    flow = rng.normal(scale=0.05, size=(450, 2)).astype(np.float32)
+    colors = viz.flow_to_hsv(flow[:16])
+    assert colors.shape == (16, 3)
+    assert colors.min() >= 0 and colors.max() <= 1
+
+    fig = viz.plot_gt_pred_flow(scan, flow, flow, title="t")
+    plt.close(fig)
+    fig = viz.plot_flow_hsv(scan, flow)
+    plt.close(fig)
+    fig = viz.plot_histogram(scan, "ranges")
+    plt.close(fig)
+
+    # tiny video (PNG fallback without ffmpeg is fine)
+    out = str(tmp_path / "v.mp4")
+    viz.render_flow_video(
+        np.stack([scan, scan]),
+        np.stack([flow, flow]),
+        np.stack([flow, flow]),
+        out, fps=2,
+    )
+    stem = os.path.splitext(out)[0]
+    assert os.path.exists(out) or os.path.isdir(stem)

@@ -166,3 +166,25 @@ def test_aabb_iou():
     np.testing.assert_allclose(
         got, float(np.asarray(ops.rotated_iou(ra, rb))[0, 0]), rtol=1e-5
     )
+
+
+def test_nms_while_matches_fori(rng):
+    scan, phi, pred_cls, pred_reg = _fake_votes(rng)
+    a = ops.nms_predicted_center(scan, phi, pred_cls, pred_reg)
+    b = ops.nms_predicted_center(scan, phi, pred_cls, pred_reg,
+                                 method="while")
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))  # keep
+    np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))  # inst
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_nms_while_matches_oracle(rng):
+    scan, phi, pred_cls, pred_reg = _fake_votes(rng)
+    det_xys, det_cls, keep, inst = ops.nms_predicted_center(
+        scan, phi, pred_cls, pred_reg, method="while"
+    )
+    got_xys, got_cls = unpack_detections(det_xys, det_cls, keep)
+    want_xys, want_cls, want_inst = oracles.nms_loop(scan, phi, pred_cls,
+                                                     pred_reg)
+    np.testing.assert_allclose(got_xys, want_xys, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(inst), want_inst)
