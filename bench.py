@@ -26,7 +26,7 @@ def main():
     from planar_optical_flow_tpu.models import FlowDrow
     from planar_optical_flow_tpu.infer.streaming import make_stream_step
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     num_pts = 450
 

@@ -236,9 +236,12 @@ def make_sequence_processor(model, cutout_kwargs, num_pts: int = 450,
     streaming cell inside ONE jitted program (``lax.scan`` over time).
 
     ``process(variables, scans (T, B, P), template=None) ->
-    (final_template, outputs stacked over T)``. Amortizes per-step dispatch
-    and lets XLA pipeline consecutive scans — the throughput mode for
-    offline evaluation; the per-step API remains for live serving.
+    (final_template, outputs stacked over T)``.
+
+    Note: measured on v5e this is ~2x SLOWER per scan than the per-step API
+    (the async dispatch queue already overlaps host and device work, while
+    ``lax.scan`` serializes iterations and materializes stacked outputs) —
+    provided for API completeness / single-program export, not throughput.
     """
     inner = make_stream_step(model, cutout_kwargs, num_pts, nms_min_dist,
                              with_nms, donate_template=False,

@@ -80,11 +80,14 @@ class SpatialAttentionGate(nn.Module):
         band = jnp.asarray(neighbor_band(ct, self.window_size))
         sim_band = jnp.take_along_axis(sim, band[None], axis=2)
 
-        mask = jnp.asarray(band_mask(ct, self.window_size))
-        masked = sim - 1e10 * (1.0 - mask)
+        # keep the mask in the compute dtype: a f32 constant would silently
+        # promote the whole attention (and the template carry) to f32
+        mask = jnp.asarray(band_mask(ct, self.window_size), dtype=sim.dtype)
+        masked = sim - jnp.asarray(1e10, sim.dtype) * (1.0 - mask)
         attn = nn.softmax(masked, axis=-1)
         attn = attn * mask  # exact zeros off-band (dr_spaam.py:196-201)
-        attn = attn / jnp.maximum(attn.sum(axis=-1, keepdims=True), 1e-20)
+        attn = attn / jnp.maximum(attn.sum(axis=-1, keepdims=True),
+                                  jnp.asarray(1e-20, sim.dtype))
 
         t_flat = template.reshape(b, ct, l * c)
         mixed = jnp.einsum("bij,bjd->bid", attn, t_flat).reshape(b, ct, l, c)
