@@ -30,18 +30,17 @@ inline double parse_float(char*& p, char* end, bool& ok) {
     ++p;
   }
   uint64_t mant = 0;
-  int digits = 0, frac_digits = 0;
+  int digits = 0;
+  int exp10 = 0;
   while (p < end && *p >= '0' && *p <= '9') {
     if (digits < 18) {
       mant = mant * 10 + static_cast<uint64_t>(*p - '0');
       ++digits;
     } else {
-      ++frac_digits;  // overflow guard: scale up instead
-      frac_digits = frac_digits;  // (kept simple; 18 digits is plenty here)
+      ++exp10;  // drop excess integer digits, track magnitude
     }
     ++p;
   }
-  int exp10 = 0;
   if (p < end && *p == '.') {
     ++p;
     while (p < end && *p >= '0' && *p <= '9') {

@@ -22,13 +22,23 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2,
-                 put_fn=None):
+                 put_fn=None, process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch; under multi-host each process
+        constructs only its ``batch_size / process_count`` slice (same seed
+        on every host keeps the global order consistent)."""
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{process_count} processes"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.put_fn = put_fn  # e.g. device/shard placement
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -38,6 +48,9 @@ class BatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _make_batch(self, idx):
+        if self.process_count > 1:
+            per = self.batch_size // self.process_count
+            idx = idx[self.process_index * per:(self.process_index + 1) * per]
         if hasattr(self.dataset, "batch"):
             b = self.dataset.batch(idx)
         else:
