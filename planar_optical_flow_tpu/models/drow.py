@@ -75,9 +75,16 @@ class Drow(nn.Module):
 
     dropout: float = 0.0
     pedestrian_only: bool = False
+    remat: bool = False  # rematerialize backbone activations in backward
 
     def setup(self):
-        self.backbone = DrowBackbone(dropout=self.dropout)
+        import flax.linen as nn
+
+        backbone_cls = (
+            nn.remat(DrowBackbone, static_argnums=(2,))
+            if self.remat else DrowBackbone
+        )
+        self.backbone = backbone_cls(dropout=self.dropout)
         self.head = DrowHead(
             num_classes=1 if self.pedestrian_only else 4, dropout=self.dropout
         )
@@ -85,7 +92,7 @@ class Drow(nn.Module):
     def encode_cutouts(self, x, train: bool = True):
         """(B, n_cutout, n_scan, n_pts) -> (B, n_cutout, n_scan, L, C)."""
         b, ct, s, p = x.shape
-        f = self.backbone(x.reshape(b * ct * s, p, 1), train=train)
+        f = self.backbone(x.reshape(b * ct * s, p, 1), train)
         return f.reshape(b, ct, s, f.shape[-2], f.shape[-1])
 
     def fused_head(self, fused, train: bool = True):

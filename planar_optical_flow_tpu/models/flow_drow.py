@@ -33,6 +33,7 @@ class FlowDrow(nn.Module):
     window_size: int = 7
     pedestrian_only: bool = False
     freeze_detector: bool = True
+    remat: bool = False
 
     def setup(self):
         self.dr_spaam = SpatialDrow(
@@ -40,6 +41,7 @@ class FlowDrow(nn.Module):
             alpha=self.alpha,
             window_size=self.window_size,
             pedestrian_only=self.pedestrian_only,
+            remat=self.remat,
         )
         self.conv1 = ConvBlock(128, 3, name="flow_conv1")
         self.conv2 = ConvBlock(64, 3, name="flow_conv2")

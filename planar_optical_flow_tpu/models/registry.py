@@ -39,6 +39,7 @@ def _build_drow(cfg):
     return Drow(
         dropout=cfg.get("dropout", 0.0),
         pedestrian_only=cfg.get("pedestrian_only", False),
+        remat=cfg.get("remat", False),
     )
 
 
@@ -48,6 +49,7 @@ def _build_spatial_drow(cfg):
         alpha=cfg.get("alpha", 0.5),
         window_size=cfg.get("window_size", 7),
         pedestrian_only=cfg.get("pedestrian_only", False),
+        remat=cfg.get("remat", False),
     )
 
 
@@ -58,6 +60,7 @@ def _build_flow_drow(cfg):
         window_size=cfg.get("window_size", 7),
         pedestrian_only=cfg.get("pedestrian_only", False),
         freeze_detector=cfg.get("freeze_detector", True),
+        remat=cfg.get("remat", False),
     )
 
 

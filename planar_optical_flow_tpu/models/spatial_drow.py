@@ -108,9 +108,14 @@ class SpatialDrow(nn.Module):
     alpha: float = 0.5
     window_size: int = 7
     pedestrian_only: bool = False
+    remat: bool = False  # trade backbone recompute for training memory
 
     def setup(self):
-        self.backbone = DrowBackbone(dropout=self.dropout)
+        backbone_cls = (
+            nn.remat(DrowBackbone, static_argnums=(2,))
+            if self.remat else DrowBackbone
+        )
+        self.backbone = backbone_cls(dropout=self.dropout)
         self.gate = SpatialAttentionGate(
             alpha=self.alpha, window_size=self.window_size
         )
@@ -123,7 +128,7 @@ class SpatialDrow(nn.Module):
     def _encode(self, x, train):
         """(B, ct, S, pts) -> (B, ct, S, L, C): one batched backbone call."""
         b, ct, s, p = x.shape
-        f = self.backbone(x.reshape(b * ct * s, p, 1), train=train)
+        f = self.backbone(x.reshape(b * ct * s, p, 1), train)
         return f.reshape(b, ct, s, f.shape[-2], f.shape[-1])
 
     def _head(self, fused, train):

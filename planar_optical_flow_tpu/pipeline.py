@@ -247,32 +247,16 @@ class Pipeline:
         )
 
     def load_pretrained_detector(self, ckpt_path: str):
-        """Restore a SpatialDrow checkpoint and graft its weights into this
-        FlowDrow state's (frozen) ``dr_spaam`` subtree."""
-        import optax
-
-        from planar_optical_flow_tpu.models import SpatialDrow
+        """Restore a SpatialDrow checkpoint (raw tree, no optimizer
+        template needed) and graft its weights into this FlowDrow state's
+        (frozen) ``dr_spaam`` subtree."""
         from planar_optical_flow_tpu.train.state import (
-            create_train_state, load_pretrained_subtree,
+            load_pretrained_subtree,
         )
 
-        mcfg = self.cfg["model"]
-        det = SpatialDrow(
-            dropout=mcfg.get("dropout", 0.0),
-            alpha=mcfg.get("alpha", 0.5),
-            window_size=mcfg.get("window_size", 7),
-            pedestrian_only=mcfg.get("pedestrian_only", False),
-        )
-        n_ct = self.cfg["dataset"].get("cutout_kwargs", {}).get(
-            "num_cutout_pts", 48
-        )
-        s = self.cfg["dataset"].get("num_scans", 5) + 1
-        x = jnp.zeros((1, 450, s, n_ct))
-        det_state = create_train_state(det, (x,), optax.identity(),
-                                       init_kwargs={"train": False})
-        det_state = ckpt_lib.restore_checkpoint(ckpt_path, det_state)
+        tree = ckpt_lib.load_checkpoint_tree(ckpt_path)
         self.state = load_pretrained_subtree(
-            self.state, "dr_spaam", det_state.params, det_state.batch_stats
+            self.state, "dr_spaam", tree["params"], tree["batch_stats"]
         )
         self.logger.info(f"grafted pre-trained detector from {ckpt_path}")
 

@@ -46,6 +46,14 @@ def restore_checkpoint(path: str, state):
     )
 
 
+def load_checkpoint_tree(path: str) -> dict:
+    """Restore the raw checkpoint pytree (params/batch_stats/... as plain
+    dicts) without needing a matching TrainState template — for weight
+    grafting and inspection."""
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
 def latest_checkpoint(ckpt_dir: str) -> str | None:
     """Most recent ``ckpt_e{N}`` directory under ``ckpt_dir``."""
     if not os.path.isdir(ckpt_dir):
