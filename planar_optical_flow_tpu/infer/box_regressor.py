@@ -67,18 +67,14 @@ class BoxRegressor:
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, cfg: dict, **kw):
-        import optax
-
-        from planar_optical_flow_tpu.train.state import create_train_state
-
+        """Load from any TrainState checkpoint (raw tree — works regardless
+        of the optimizer it was trained with)."""
         self = cls(None, cfg, **kw)
-        dummy = jnp.zeros((1, self.input_size, self.model.input_dim))
-        state = create_train_state(
-            self.model, (dummy,), optax.identity(),
-            init_kwargs={"train": False},
-        )
-        state = ckpt_lib.restore_checkpoint(ckpt_path, state)
-        self.variables = state.variables
+        tree = ckpt_lib.load_checkpoint_tree(ckpt_path)
+        variables = {"params": tree["params"]}
+        if tree.get("batch_stats") is not None:
+            variables["batch_stats"] = tree["batch_stats"]
+        self.variables = variables
         return self
 
     def generate_segments(self, points: np.ndarray, det_centers: np.ndarray):

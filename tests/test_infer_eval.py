@@ -135,3 +135,32 @@ def test_evaluate_detection_ap_with_synthetic(tmp_path, rng):
     out = evaluate_detection_ap(runner, ds, conf_thresh=0.5)
     assert 0.0 <= out["ap"] <= 1.0
     assert out["num_frames"] == len(ds)
+
+
+def test_box_regressor_from_checkpoint_roundtrip(tmp_path, rng):
+    """Train-free roundtrip: save a BoundingBoxRegressor state, reload via
+    BoxRegressor.from_checkpoint, regress boxes on a synthetic frame."""
+    import optax
+
+    from planar_optical_flow_tpu.data.synthetic import make_synthetic_jrdb
+    from planar_optical_flow_tpu.train import create_train_state
+    from planar_optical_flow_tpu.train import checkpoint as ckpt_lib
+    from planar_optical_flow_tpu.models import BoundingBoxRegressor
+
+    cfg = {"is_3d": True, "input_size": 32, "radius_segment": 0.7,
+           "input_with_angle": True, "dropout": 0.0, "min_segment_size": 3}
+    model = BoundingBoxRegressor(input_dim=4, target_dim=5, dropout=0.0)
+    state = create_train_state(
+        model, (jnp.zeros((1, 32, 4)),), optax.identity(),
+        init_kwargs={"train": False},
+    )
+    path = ckpt_lib.save_checkpoint(str(tmp_path / "boxreg"), state)
+
+    reg = BoxRegressor.from_checkpoint(path, cfg)
+    frame = make_synthetic_jrdb(num_frames=1, boxes_per_frame=3)[0]
+    centers = frame["boxes"][:, :3]
+    boxes, ok = reg(frame["points"], centers, frame["boxes"][:, 6])
+    assert boxes.shape == (3, 7)
+    assert ok.all()
+    # centers pass through; cz/rot offsets applied
+    np.testing.assert_allclose(boxes[:, :2], centers[:, :2], atol=1e-5)
