@@ -71,8 +71,8 @@ def main():
 
     result = {
         "metric": "fused flow+DR-SPAAM streaming inference throughput "
-                  f"(batch {batch} streams, incl. on-device cutout+NMS; "
-                  f"step latency {p50_latency_ms:.2f} ms)",
+                  f"(batch {batch} streams, bf16 serving, incl. on-device "
+                  f"cutout+NMS; step latency {p50_latency_ms:.2f} ms)",
         "value": round(scans_per_sec, 1),
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_per_sec / 10000.0, 3),

@@ -86,7 +86,6 @@ class FlowScanPairDataset:
 
             mask = np.ones(scans_k.shape, dtype=np.float32)
             if mask_dynamic:
-                _, wcs, was, wps = drow_io.load_detection_file(stem)[0:4]
                 ids, wcs, was, wps = drow_io.load_detection_file(stem)
                 scan_ids = drow_io.load_scan_file(stem)[0]
                 id2dets = {

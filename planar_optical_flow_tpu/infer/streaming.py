@@ -247,9 +247,6 @@ def make_sequence_processor(model, cutout_kwargs, num_pts: int = 450,
                              with_nms, donate_template=False,
                              compute_dtype=compute_dtype)
 
-    # unwrap: we need the raw (uncompiled) step; rebuild it here
-    phi = get_laser_phi(num_pts=num_pts)
-
     def process(variables, scans, template=None):
         if template is None:
             template, first = inner(variables, None, scans[0])

@@ -78,8 +78,6 @@ class Drow(nn.Module):
     remat: bool = False  # rematerialize backbone activations in backward
 
     def setup(self):
-        import flax.linen as nn
-
         backbone_cls = (
             nn.remat(DrowBackbone, static_argnums=(2,))
             if self.remat else DrowBackbone
