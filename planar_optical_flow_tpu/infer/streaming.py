@@ -113,7 +113,8 @@ def make_fused_stream_step(model, variables, cutout_kwargs,
             cutouts.reshape(b * num_pts, -1), w_bb, tile=tile,
             compute_dtype=cdt, interpret=interpret,
         )
-        feats = feats.reshape(b, num_pts, feats.shape[-2], feats.shape[-1])
+        l4, ch = feats.shape[-2], feats.shape[-1]
+        feats = feats.reshape(b, num_pts, l4 * ch)  # gate runs on flat feats
         if compute_dtype is not None:
             feats = feats.astype(compute_dtype)
         if template is None:
@@ -122,9 +123,7 @@ def make_fused_stream_step(model, variables, cutout_kwargs,
         else:
             new_template, sim = gate_apply(feats, template)
         cls, reg = fd.fused_head(
-            new_template.astype(jnp.float32).reshape(
-                b * num_pts, feats.shape[-2], feats.shape[-1]
-            ),
+            new_template.astype(jnp.float32).reshape(b * num_pts, l4, ch),
             w_hd, num_classes=num_classes, tile=tile,
             compute_dtype=cdt, interpret=interpret,
         )

@@ -49,26 +49,31 @@ def band_mask(n_cutout: int, window_size: int) -> np.ndarray:
 
 
 class SpatialAttentionGate(nn.Module):
-    """One step of the auto-regressive spatial-attention template update."""
+    """One step of the auto-regressive spatial-attention template update.
+
+    Features are handled FLAT — ``(B, n_cutout, D)`` with ``D = L * C`` —
+    so no per-step layout changes are needed on the (large) template carry;
+    only the detection head ever reshapes back to ``(L, C)``.
+    """
 
     alpha: float = 0.5
     window_size: int = 7
 
     @nn.compact
     def __call__(self, x, template, train: bool = True):
-        """x, template: ``(B, n_cutout, L, C)`` cutout features.
+        """x, template: ``(B, n_cutout, D)`` flattened cutout features.
 
-        Returns (new_template ``(B, n_cutout, L, C)``,
+        Returns (new_template ``(B, n_cutout, D)``,
                  sim_band ``(B, n_cutout, window)``).
         """
-        b, ct, l, c = x.shape
+        b, ct, d = x.shape
 
         dense = nn.Dense(128, kernel_init=KAIMING_LEAKY, name="embed")
         bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, name="embed_bn")
 
         def emb(f):
-            e = dense(f.reshape(b * ct, l * c))
+            e = dense(f.reshape(b * ct, d))
             e = bn(e)
             return nn.leaky_relu(e, negative_slope=0.1).reshape(b, ct, 128)
 
@@ -89,8 +94,7 @@ class SpatialAttentionGate(nn.Module):
         attn = attn / jnp.maximum(attn.sum(axis=-1, keepdims=True),
                                   jnp.asarray(1e-20, sim.dtype))
 
-        t_flat = template.reshape(b, ct, l * c)
-        mixed = jnp.einsum("bij,bjd->bid", attn, t_flat).reshape(b, ct, l, c)
+        mixed = jnp.einsum("bij,bjd->bid", attn, template)
 
         new_template = self.alpha * x + (1.0 - self.alpha) * mixed
         return new_template, sim_band
@@ -126,17 +130,18 @@ class SpatialDrow(nn.Module):
     # ----------------------------------------------------------- internals
 
     def _encode(self, x, train):
-        """(B, ct, S, pts) -> (B, ct, S, L, C): one batched backbone call."""
+        """(B, ct, S, pts) -> (B, ct, S, L*C) flat features, one backbone
+        call (features stay flat through the temporal recursion — the head
+        reshapes back once)."""
         b, ct, s, p = x.shape
         f = self.backbone(x.reshape(b * ct * s, p, 1), train)
-        return f.reshape(b, ct, s, f.shape[-2], f.shape[-1])
+        return f.reshape(b, ct, s, f.shape[-2] * f.shape[-1])
 
-    def _head(self, fused, train):
-        b, ct = fused.shape[:2]
-        cls, reg = self.head(
-            fused.reshape(b * ct, fused.shape[-2], fused.shape[-1]),
-            train=train,
-        )
+    def _head(self, fused_flat, train):
+        b, ct, d = fused_flat.shape
+        c = 256  # backbone output channels (DrowBackbone block2)
+        cls, reg = self.head(fused_flat.reshape(b * ct, d // c, c),
+                             train=train)
         return cls.reshape(b, ct, -1), reg.reshape(b, ct, 2)
 
     # ------------------------------------------------------------- training
@@ -162,8 +167,8 @@ class SpatialDrow(nn.Module):
 
         Args:
           x: ``(B, n_cutout, n_pts)`` cutouts of ONE scan.
-          template: carried ``(B, n_cutout, L, C)`` feature template or None
-            to bootstrap from this scan.
+          template: carried ``(B, n_cutout, L*C)`` flat feature template or
+            None to bootstrap from this scan.
 
         Returns (cls, reg, new_template, sim_band).
         """
