@@ -161,3 +161,13 @@ def test_cutout_matmul_mode_parity(rng):
                             **kw)
     )
     np.testing.assert_allclose(ma, ga, atol=2e-3)
+
+
+def test_cutout_matmul_mode_with_stride(rng):
+    scans = _scans(rng)
+    phi = oracles.laser_phi()
+    kw = dict(num_cutout_pts=16, window_width=1.0, window_depth=0.5, stride=2)
+    g = np.asarray(ops.scans_to_cutout(scans, phi, **kw))
+    m = np.asarray(ops.scans_to_cutout(scans, phi, gather_mode="matmul", **kw))
+    assert m.shape == (225, 3, 16)
+    np.testing.assert_allclose(m, g, atol=2e-3)

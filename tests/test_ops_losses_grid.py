@@ -111,3 +111,22 @@ def test_detection_loss_components(rng):
     want_reg = err[tgt_cls == 1].mean()
     np.testing.assert_allclose(float(reg_l), want_reg, rtol=1e-5)
     assert float(cls_l) > 0
+
+
+def test_focal_loss_alpha_weighting(rng):
+    logits = rng.normal(size=(32, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, size=32)
+    alpha = np.array([0.1, 0.2, 0.3, 0.4], np.float32)
+    got = float(ops.focal_loss(logits, jnp.asarray(labels), gamma=0.0,
+                               alpha=alpha))
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    want = -np.mean(alpha[labels] * logp[np.arange(32), labels])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_binary_focal_alpha(rng):
+    p = rng.uniform(0.05, 0.95, size=64).astype(np.float32)
+    t = (rng.uniform(size=64) > 0.5).astype(np.float32)
+    got = float(ops.binary_focal_loss(p, t, gamma=0.0, alpha=0.25))
+    want = -np.mean(0.25 * t * np.log(p) + 0.75 * (1 - t) * np.log(1 - p))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
