@@ -34,6 +34,7 @@ class FlowDrow(nn.Module):
     pedestrian_only: bool = False
     freeze_detector: bool = True
     remat: bool = False
+    banded_chunk: int = 0
 
     def setup(self):
         self.dr_spaam = SpatialDrow(
@@ -42,6 +43,7 @@ class FlowDrow(nn.Module):
             window_size=self.window_size,
             pedestrian_only=self.pedestrian_only,
             remat=self.remat,
+            banded_chunk=self.banded_chunk,
         )
         self.conv1 = ConvBlock(128, 3, name="flow_conv1")
         self.conv2 = ConvBlock(64, 3, name="flow_conv2")

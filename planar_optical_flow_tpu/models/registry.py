@@ -50,6 +50,7 @@ def _build_spatial_drow(cfg):
         window_size=cfg.get("window_size", 7),
         pedestrian_only=cfg.get("pedestrian_only", False),
         remat=cfg.get("remat", False),
+        banded_chunk=cfg.get("banded_chunk", 0),
     )
 
 
@@ -61,6 +62,7 @@ def _build_flow_drow(cfg):
         pedestrian_only=cfg.get("pedestrian_only", False),
         freeze_detector=cfg.get("freeze_detector", True),
         remat=cfg.get("remat", False),
+        banded_chunk=cfg.get("banded_chunk", 0),
     )
 
 

@@ -25,6 +25,7 @@ the same cell exposed with an explicit template carry
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -48,6 +49,34 @@ def band_mask(n_cutout: int, window_size: int) -> np.ndarray:
     return mask
 
 
+def _chunk_plan(n_cutout: int, window_size: int, chunk: int):
+    """Static index plan for the block-banded attention path.
+
+    Rows are split into ``n_chunks`` of ``chunk``; each chunk attends to a
+    ``chunk + 2*halo`` window of (zero-padded) columns. Returns
+    (n_chunks, halo, mask (n_chunks, chunk, width), band_cols
+    (n_chunks, chunk, window_size) local column ids reproducing the
+    edge-clamped band gather of the dense path).
+    """
+    assert n_cutout % chunk == 0, (n_cutout, chunk)
+    hw = window_size // 2
+    halo = hw
+    width = chunk + 2 * halo
+    n_chunks = n_cutout // chunk
+    mask = np.zeros((n_chunks, chunk, width), dtype=np.float32)
+    band_cols = np.zeros((n_chunks, chunk, window_size), dtype=np.int64)
+    for n in range(n_chunks):
+        start = n * chunk - halo  # global col of local col 0 (may be < 0)
+        for i in range(chunk):
+            g = n * chunk + i
+            for o in range(-hw, hw + 1):
+                j = g + o
+                if 0 <= j < n_cutout:
+                    mask[n, i, j - start] = 1.0
+                band_cols[n, i, o + hw] = np.clip(j, 0, n_cutout - 1) - start
+    return n_chunks, halo, mask, band_cols
+
+
 class SpatialAttentionGate(nn.Module):
     """One step of the auto-regressive spatial-attention template update.
 
@@ -58,6 +87,15 @@ class SpatialAttentionGate(nn.Module):
 
     alpha: float = 0.5
     window_size: int = 7
+    # block-banded attention: compute similarity/softmax/mix only on
+    # chunk x (chunk + window) blocks instead of the dense cutout x cutout
+    # matrices — mathematically identical (everything off-band is masked to
+    # zero either way), ~7x less attention compute at 450 cutouts. 0
+    # disables. NOTE measured on v5e at 450 cutouts the DENSE path is faster
+    # (the windowed template copy costs more than the saved matmul FLOPs —
+    # the op is template-bandwidth-bound); the banded path pays off only for
+    # much larger point counts. Kept as a tested option.
+    banded_chunk: int = 0
 
     @nn.compact
     def __call__(self, x, template, train: bool = True):
@@ -80,6 +118,17 @@ class SpatialAttentionGate(nn.Module):
         emb_x = emb(x)
         emb_t = emb(template)
 
+        if self.banded_chunk and ct % self.banded_chunk == 0:
+            mixed, sim_band = self._block_banded(
+                emb_x, emb_t, template, b, ct, d
+            )
+        else:
+            mixed, sim_band = self._dense(emb_x, emb_t, template, ct)
+
+        new_template = self.alpha * x + (1.0 - self.alpha) * mixed
+        return new_template, sim_band
+
+    def _dense(self, emb_x, emb_t, template, ct):
         sim = jnp.einsum("bic,bjc->bij", emb_x, emb_t)  # (B, ct, ct)
 
         band = jnp.asarray(neighbor_band(ct, self.window_size))
@@ -95,9 +144,45 @@ class SpatialAttentionGate(nn.Module):
                                   jnp.asarray(1e-20, sim.dtype))
 
         mixed = jnp.einsum("bij,bjd->bid", attn, template)
+        return mixed, sim_band
 
-        new_template = self.alpha * x + (1.0 - self.alpha) * mixed
-        return new_template, sim_band
+    def _block_banded(self, emb_x, emb_t, template, b, ct, d):
+        chunk = self.banded_chunk
+        n_chunks, halo, mask_np, band_cols_np = _chunk_plan(
+            ct, self.window_size, chunk
+        )
+        width = chunk + 2 * halo
+        dt = emb_x.dtype
+
+        def window_view(a):
+            """(B, ct, F) -> (B, n_chunks, width, F) overlapping windows."""
+            pad = jnp.pad(a, ((0, 0), (halo, halo), (0, 0)))
+            wins = [
+                jax.lax.dynamic_slice_in_dim(pad, n * chunk, width, axis=1)
+                for n in range(n_chunks)
+            ]
+            return jnp.stack(wins, axis=1)
+
+        ex = emb_x.reshape(b, n_chunks, chunk, -1)
+        et_w = window_view(emb_t)
+        sim = jnp.einsum("bncE,bnwE->bncw", ex, et_w)  # (B, n, chunk, width)
+
+        band_cols = jnp.asarray(band_cols_np)  # (n, chunk, window)
+        sim_band = jnp.take_along_axis(
+            sim, jnp.broadcast_to(band_cols[None],
+                                  (b,) + band_cols.shape), axis=3,
+        ).reshape(b, ct, -1)
+
+        mask = jnp.asarray(mask_np, dtype=dt)  # (n, chunk, width)
+        masked = sim - jnp.asarray(1e10, dt) * (1.0 - mask)
+        attn = nn.softmax(masked, axis=-1)
+        attn = attn * mask
+        attn = attn / jnp.maximum(attn.sum(axis=-1, keepdims=True),
+                                  jnp.asarray(1e-20, dt))
+
+        t_w = window_view(template)  # (B, n, width, D)
+        mixed = jnp.einsum("bncw,bnwD->bncD", attn, t_w).reshape(b, ct, d)
+        return mixed, sim_band
 
 
 class SpatialDrow(nn.Module):
@@ -113,6 +198,7 @@ class SpatialDrow(nn.Module):
     window_size: int = 7
     pedestrian_only: bool = False
     remat: bool = False  # trade backbone recompute for training memory
+    banded_chunk: int = 0  # block-banded attention (see SpatialAttentionGate)
 
     def setup(self):
         backbone_cls = (
@@ -121,7 +207,8 @@ class SpatialDrow(nn.Module):
         )
         self.backbone = backbone_cls(dropout=self.dropout)
         self.gate = SpatialAttentionGate(
-            alpha=self.alpha, window_size=self.window_size
+            alpha=self.alpha, window_size=self.window_size,
+            banded_chunk=self.banded_chunk,
         )
         self.head = DrowHead(
             num_classes=1 if self.pedestrian_only else 4, dropout=self.dropout

@@ -136,12 +136,14 @@ def scans_to_cutout(
 
         s_hi = scans.astype(jnp.bfloat16)
         s_lo = (scans - s_hi.astype(scans.dtype)).astype(jnp.bfloat16)
-        sampled = (
-            jnp.einsum("...pcq,...q->...pc", w01, s_hi,
-                       preferred_element_type=jnp.float32)
-            + jnp.einsum("...pcq,...q->...pc", w01, s_lo,
-                         preferred_element_type=jnp.float32)
-        ).astype(scans.dtype)
+        # one contraction with the hi/lo parts stacked on a trailing axis:
+        # the (large, fused-on-the-fly) selection tensor streams once instead
+        # of once per part — this op is bandwidth-bound on it
+        rhs = jnp.stack([s_hi, s_lo], axis=-1)  # (..., P, 2)
+        sampled = jnp.einsum(
+            "...pcq,...qk->...pck", w01, rhs,
+            preferred_element_type=jnp.float32,
+        ).sum(axis=-1).astype(scans.dtype)
 
         c = num_cutout_pts
         ct_low_v = sampled[..., 0 * c:1 * c]

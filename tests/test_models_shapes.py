@@ -139,3 +139,39 @@ def test_registry_builds_all():
         raise AssertionError("should have raised")
     except NotImplementedError:
         pass
+
+
+def test_banded_gate_matches_dense():
+    """Block-banded attention is numerically the dense masked attention."""
+    from planar_optical_flow_tpu.models.spatial_drow import (
+        SpatialAttentionGate,
+    )
+
+    rng = np.random.default_rng(0)
+    b, ct, d = 2, 450, 64
+    x = jnp.asarray(rng.normal(size=(b, ct, d)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(b, ct, d)).astype(np.float32))
+    dense = SpatialAttentionGate(window_size=11)
+    banded = SpatialAttentionGate(window_size=11, banded_chunk=50)
+    v = dense.init(KEY, x, t, train=False)
+    o1, s1 = dense.apply(v, x, t, train=False)
+    o2, s2 = banded.apply(v, x, t, train=False)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_banded_gate_full_model_parity(rng):
+    """SpatialDrow with banded_chunk produces the same detections."""
+    dense_m = SpatialDrow(window_size=5, pedestrian_only=True)
+    band_m = SpatialDrow(window_size=5, pedestrian_only=True,
+                         banded_chunk=45)
+    x = jnp.asarray(rng.normal(size=(1, 450, 2, 16)).astype(np.float32))
+    v = dense_m.init(KEY, x, train=False)
+    c1, r1, s1 = dense_m.apply(v, x, train=False)
+    c2, r2, s2 = band_m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
+                               rtol=1e-4, atol=1e-4)
