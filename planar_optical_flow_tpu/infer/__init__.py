@@ -2,8 +2,10 @@
 inference, box regression."""
 
 from planar_optical_flow_tpu.infer.streaming import (  # noqa: F401
-    StreamingState,
     make_stream_step,
+    make_fused_stream_step,
+    make_sequence_processor,
+    cast_variables,
     StreamingRunner,
 )
 from planar_optical_flow_tpu.infer.box_regressor import BoxRegressor  # noqa: F401

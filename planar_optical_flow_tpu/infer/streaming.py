@@ -13,9 +13,6 @@ Supports batched independent streams (B > 1): template state is per-stream.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,15 +24,6 @@ from planar_optical_flow_tpu.ops.geometry import (
 )
 from planar_optical_flow_tpu.ops.nms import nms_predicted_center
 from planar_optical_flow_tpu.models.flow_drow import FlowDrow
-from planar_optical_flow_tpu.models.spatial_drow import SpatialDrow
-
-
-@dataclass
-class StreamingState:
-    """Per-stream carry: the attention template features (or None before the
-    first scan)."""
-
-    template: Any = None
 
 
 def _encode_single(scan, phi, cutout_kwargs):

@@ -19,7 +19,6 @@ counts of tile*56.
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax

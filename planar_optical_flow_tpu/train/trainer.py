@@ -25,7 +25,6 @@ import signal
 import time
 
 import jax
-import numpy as np
 
 from planar_optical_flow_tpu.train import checkpoint as ckpt_lib
 from planar_optical_flow_tpu.parallel.mesh import (
