@@ -116,10 +116,13 @@ def scans_to_cutout(
         #     is recovered to ~f32 accuracy from two matmuls,
         #   * the fractional lerp / area normalization runs elementwise in
         #     f32 on the VPU (frac in bf16 would smear depth discontinuities).
+        # ``high == clip(low + 1)``, so sampling at ``high`` is the LOW
+        # selection applied to an edge-shifted copy of the scan — the
+        # selection tensor (the bandwidth cost of this op) carries one
+        # interp block instead of two.
         beams = jnp.arange(num_pts, dtype=jnp.int32)
         blocks = [
             (beams == low[..., None]).astype(jnp.bfloat16),
-            (beams == high[..., None]).astype(jnp.bfloat16),
         ]
         if area_mode:
             tap_w = (inds[..., -1:] - inds[..., 0:1]) / (num_cutout_pts - 1)
@@ -134,23 +137,33 @@ def scans_to_cutout(
             )
         w01 = jnp.concatenate(blocks, axis=-2)  # (..., P', K*C, P)
 
-        s_hi = scans.astype(jnp.bfloat16)
-        s_lo = (scans - s_hi.astype(scans.dtype)).astype(jnp.bfloat16)
-        # one contraction with the hi/lo parts stacked on a trailing axis:
-        # the (large, fused-on-the-fly) selection tensor streams once instead
-        # of once per part — this op is bandwidth-bound on it
-        rhs = jnp.stack([s_hi, s_lo], axis=-1)  # (..., P, 2)
+        shifted = jnp.concatenate(
+            [scans[..., 1:], scans[..., -1:]], axis=-1
+        )  # scan[p+1] with edge clamp == gather at `high`
+
+        def split16(a):
+            hi = a.astype(jnp.bfloat16)
+            lo = (a - hi.astype(a.dtype)).astype(jnp.bfloat16)
+            return hi, lo
+
+        s_hi, s_lo = split16(scans)
+        n_hi, n_lo = split16(shifted)
+        # one contraction with all scan parts stacked on a trailing axis:
+        # the (large, fused-on-the-fly) selection tensor streams once —
+        # this op is bandwidth-bound on it
+        rhs = jnp.stack([s_hi, s_lo, n_hi, n_lo], axis=-1)  # (..., P, 4)
         sampled = jnp.einsum(
             "...pcq,...qk->...pck", w01, rhs,
             preferred_element_type=jnp.float32,
-        ).sum(axis=-1).astype(scans.dtype)
+        ).astype(scans.dtype)
 
         c = num_cutout_pts
-        ct_low_v = sampled[..., 0 * c:1 * c]
-        ct_high_v = sampled[..., 1 * c:2 * c]
+        ct_low_v = sampled[..., 0 * c:1 * c, 0] + sampled[..., 0 * c:1 * c, 1]
+        ct_high_v = sampled[..., 0 * c:1 * c, 2] + sampled[..., 0 * c:1 * c, 3]
         ct = ct_low_v + frac * (ct_high_v - ct_low_v)
         if area_mode:
-            band_sum = sampled[..., 2 * c:3 * c]
+            band_sum = (sampled[..., 1 * c:2 * c, 0]
+                        + sampled[..., 1 * c:2 * c, 1])
             ct_area = band_sum / (a_hi - a_lo + 1).astype(scans.dtype)
             window_span = inds[..., -1:] - inds[..., 0:1]
             use_area = window_span > num_cutout_pts
