@@ -37,9 +37,17 @@ def set_nested(cfg: dict, dotted: str, value):
 
 def parse_value(s: str):
     try:
-        return yaml.safe_load(s)
+        v = yaml.safe_load(s)
     except Exception:
         return s
+    if isinstance(v, str):
+        # YAML 1.1 won't float "1e-3" (needs "1.0e-3"); sweep grids over
+        # learning rates shouldn't care
+        try:
+            return float(v)
+        except ValueError:
+            return v
+    return v
 
 
 def expand_grid(grid_specs):
