@@ -146,6 +146,123 @@ def make_fused_stream_step(model, variables, cutout_kwargs,
     return dispatch
 
 
+def make_quantized_stream_step(model, variables, cutout_kwargs, calib_scans,
+                               num_pts: int = 450, nms_min_dist: float = 0.5,
+                               with_nms: bool = True,
+                               gate_dtype=jnp.bfloat16):
+    """Streaming step with int8 conv stacks (backbone + head convs).
+
+    The conv stacks are activation-bandwidth bound; int8 halves their
+    traffic and doubles MXU rate (see ops/quantized_drow.py). BatchNorm is
+    folded, weights are per-channel int8, activation scales are calibrated
+    on ``calib_scans`` (f32 ``(B, num_pts)``) by running the f32 reference
+    step. The attention gate and flow head stay in ``gate_dtype``; NMS and
+    flow rotation stay f32.
+
+    Returns ``step(template, scan) -> (template', outputs)``.
+    """
+    import numpy as np_
+
+    from planar_optical_flow_tpu.ops.pallas import fused_drow as fd
+    from planar_optical_flow_tpu.ops import quantized_drow as qd
+
+    phi = get_laser_phi(num_pts=num_pts)
+    phi_j = jnp.asarray(phi, dtype=jnp.float32)
+    is_flow = isinstance(model, FlowDrow)
+    det_vars = (
+        {"params": variables["params"]["dr_spaam"],
+         "batch_stats": variables["batch_stats"]["dr_spaam"]}
+        if is_flow else variables
+    )
+    w_bb = fd.backbone_weights({
+        "params": det_vars["params"]["backbone"],
+        "batch_stats": det_vars["batch_stats"]["backbone"],
+    })
+    w_hd = fd.head_weights({
+        "params": det_vars["params"]["head"],
+        "batch_stats": det_vars["batch_stats"]["head"],
+    })
+
+    # ---- calibration: run two f32 reference steps to observe cutouts and a
+    # realistic (post-gate) template distribution
+    ref_step = make_stream_step(model, cutout_kwargs, num_pts, with_nms=False,
+                                donate_template=False)
+    calib = jnp.asarray(calib_scans, dtype=jnp.float32)
+    tmpl, _ = ref_step(variables, None, calib)
+    tmpl, _ = ref_step(variables, tmpl, calib)
+    cutouts_c = np_.asarray(_encode_single(calib, phi, cutout_kwargs))
+    b_c = cutouts_c.shape[0]
+    q_bb = qd.build_quantized_backbone(
+        w_bb, cutouts_c.reshape(b_c * num_pts, -1)[:4096]
+    )
+    tmpl_np = np_.asarray(tmpl, dtype=np_.float32)
+    d = tmpl_np.shape[-1]
+    q_hd, heads = qd.build_quantized_head_convs(
+        w_hd, tmpl_np.reshape(-1, d // 256, 256)[:4096]
+    )
+
+    gate_vars = cast_variables(variables, gate_dtype)
+
+    def gate_apply(feats, template):
+        if is_flow:
+            fn = lambda m, a, b: m.dr_spaam.gate(a, b, train=False)
+        else:
+            fn = lambda m, a, b: m.gate(a, b, train=False)
+        return model.apply(gate_vars, feats, template, method=fn)
+
+    def flow_apply(sim, cur_scan):
+        return model.apply(
+            gate_vars, sim, cur_scan,
+            method=lambda m, s, c: m._flow_head(s, c, train=False),
+        )
+
+    def step(template, scan):
+        b = scan.shape[0]
+        cutouts = _encode_single(scan, phi, cutout_kwargs)  # (B, P, C) f32
+        xq = q_bb.quantize_input(
+            cutouts.reshape(b * num_pts, -1)[..., None]
+        )
+        feats = q_bb(xq)  # (B*P, L4, 256) f32
+        l4 = feats.shape[-2]
+        feats = feats.reshape(b, num_pts, l4 * 256).astype(gate_dtype)
+        if template is None:
+            new_template = feats
+            _, sim = gate_apply(feats, feats)
+        else:
+            new_template, sim = gate_apply(feats, template)
+        tq = q_hd.quantize_input(
+            new_template.astype(jnp.float32).reshape(b * num_pts, l4, 256)
+        )
+        cls, reg = qd.quantized_head_apply(q_hd, heads, tq)
+        pred_cls = cls.reshape(b, num_pts, -1)
+        pred_reg = reg.reshape(b, num_pts, 2)
+        out = {"pred_cls": jax.nn.sigmoid(pred_cls), "pred_reg": pred_reg}
+        if is_flow:
+            flow = flow_apply(sim, scan.astype(gate_dtype)).astype(jnp.float32)
+            out["pred_flow"] = canonical_to_global_flow(flow, phi_j)
+        if with_nms:
+            probs = out["pred_cls"]
+            conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
+            det_xys, det_cls, keep, inst = jax.vmap(
+                lambda s, c, r: nms_predicted_center(
+                    s, phi_j, c, r, min_dist=nms_min_dist
+                )
+            )(scan, conf, pred_reg)
+            out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
+                       instance_mask=inst)
+        return new_template, out
+
+    step_boot = jax.jit(lambda s: step(None, s))
+    step_carry = jax.jit(step, donate_argnums=(0,))
+
+    def dispatch(template, scan):
+        if template is None:
+            return step_boot(scan)
+        return step_carry(template, scan)
+
+    return dispatch
+
+
 def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
                      nms_min_dist: float = 0.5, with_nms: bool = True,
                      donate_template: bool = True, compute_dtype=None):

@@ -1,0 +1,73 @@
+"""int8 serving path: quantization math + parity with the f32 stacks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from planar_optical_flow_tpu.models.drow import DrowBackbone, DrowHead
+from planar_optical_flow_tpu.models import FlowDrow
+from planar_optical_flow_tpu.ops.pallas import fused_drow as fd
+from planar_optical_flow_tpu.ops import quantized_drow as qd
+from planar_optical_flow_tpu.infer.streaming import (
+    make_stream_step,
+    make_quantized_stream_step,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_quantize_weight_roundtrip(rng):
+    w = rng.normal(size=(3, 8, 16)).astype(np.float32)
+    q, s = qd.quantize_weight(w)
+    assert q.dtype == np.int8 and s.shape == (16,)
+    back = q.astype(np.float32) * s
+    err = np.abs(back - w.reshape(-1, 16))
+    assert err.max() <= (np.abs(w).max() / 127) * 0.51 + 1e-6
+
+
+def test_quantized_backbone_close_to_f32(rng):
+    bb = DrowBackbone()
+    x = jnp.asarray(rng.normal(size=(128, 24, 1)).astype(np.float32))
+    v = bb.init(KEY, x, train=False)
+    ref = np.asarray(bb.apply(v, x, train=False))
+    stack = qd.build_quantized_backbone(
+        fd.backbone_weights(v), np.asarray(x[..., 0][:64])
+    )
+    got = np.asarray(stack(stack.quantize_input(np.asarray(x))))
+    rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    assert rel < 0.1, rel
+
+
+def test_quantized_head_close_to_f32(rng):
+    hd = DrowHead(num_classes=1)
+    x = jnp.asarray(rng.normal(size=(64, 6, 256)).astype(np.float32))
+    v = hd.init(KEY, x, train=False)
+    cls_ref, reg_ref = (np.asarray(a) for a in hd.apply(v, x, train=False))
+    stack, heads = qd.build_quantized_head_convs(
+        fd.head_weights(v), np.asarray(x[:32])
+    )
+    cls, reg = (np.asarray(a) for a in qd.quantized_head_apply(
+        stack, heads, stack.quantize_input(np.asarray(x))
+    ))
+    assert np.abs(cls - cls_ref).mean() < 0.15 * (cls_ref.std() + 1e-6) + 0.02
+    assert np.abs(reg - reg_ref).mean() < 0.15 * (reg_ref.std() + 1e-6) + 0.02
+
+
+def test_quantized_stream_step_runs(rng):
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, 450, 1, 16))
+    v = model.init(KEY, x, jnp.zeros((1, 450)), train=False)
+    ck = dict(fixed=True, centered=True, window_width=1.0, window_depth=0.5,
+              num_cutout_pts=16, padding_val=29.99, area_mode=False)
+    scans = rng.uniform(0.5, 20.0, (2, 450)).astype(np.float32)
+    q = make_quantized_stream_step(model, v, ck, scans)
+    t, out = q(None, jnp.asarray(scans))
+    t, out = q(t, jnp.asarray(scans))
+    assert np.asarray(out["pred_cls"]).shape == (2, 450, 1)
+    assert np.asarray(out["pred_flow"]).shape == (2, 450, 2)
+    # outputs in the same ballpark as the f32 reference
+    ref = make_stream_step(model, ck, donate_template=False)
+    tr, o_ref = ref(v, None, jnp.asarray(scans))
+    tr, o_ref = ref(v, tr, jnp.asarray(scans))
+    d = np.abs(np.asarray(out["pred_cls"]) - np.asarray(o_ref["pred_cls"]))
+    assert d.mean() < 0.05
