@@ -36,21 +36,33 @@ def main():
         gather_mode="matmul",  # MXU sampling path (f32-parity, ~4x gather)
     )  # dr_spaam.yaml working point
 
-    from planar_optical_flow_tpu.infer.streaming import cast_variables
+    from planar_optical_flow_tpu.infer.streaming import (
+        cast_variables, make_quantized_stream_step,
+    )
 
     model = FlowDrow(window_size=11, pedestrian_only=True)
     x = jnp.zeros((1, num_pts, 1, 56))
     cur = jnp.zeros((1, num_pts))
     variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
-    variables = cast_variables(variables, jnp.bfloat16)
-
-    step = make_stream_step(model, cutout_kwargs, num_pts=num_pts,
-                            donate_template=True,
-                            compute_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     scan = jnp.asarray(rng.uniform(0.5, 25.0, (batch, num_pts)),
                        dtype=jnp.float32)
+
+    use_int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    if use_int8:
+        q_step = make_quantized_stream_step(
+            model, variables, cutout_kwargs, np.asarray(scan[:8]),
+            num_pts=num_pts,
+        )
+        step = lambda v, t, s: q_step(t, s)
+        precision = "int8 conv stacks + bf16 gate"
+    else:
+        variables = cast_variables(variables, jnp.bfloat16)
+        step = make_stream_step(model, cutout_kwargs, num_pts=num_pts,
+                                donate_template=True,
+                                compute_dtype=jnp.bfloat16)
+        precision = "bf16 serving"
 
     # bootstrap + warmup (compile both programs)
     template, out = step(variables, None, scan)
@@ -71,7 +83,7 @@ def main():
 
     result = {
         "metric": "fused flow+DR-SPAAM streaming inference throughput "
-                  f"(batch {batch} streams, bf16 serving, incl. on-device "
+                  f"(batch {batch} streams, {precision}, incl. on-device "
                   f"cutout+NMS; step latency {p50_latency_ms:.2f} ms)",
         "value": round(scans_per_sec, 1),
         "unit": "scans/sec/chip",
