@@ -15,6 +15,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -106,40 +107,52 @@ int pof_read_csv(const char* path, double** out_data, int64_t* out_rows,
   std::fclose(f);
   buf[got] = '\0';
 
+  // np.genfromtxt(delimiter=",") semantics: fields are comma-separated,
+  // surrounding whitespace is stripped, an EMPTY field is NaN, and an
+  // unparsable token is an error (-5) — never silently skipped.
   std::vector<double> vals;
   vals.reserve(got / 8);
   int64_t cols = 0, rows = 0;
-  int64_t cur_cols = 0;
   char* p = buf.data();
   char* end = buf.data() + got;
+  const double kNaN = std::numeric_limits<double>::quiet_NaN();
   while (p < end) {
-    // skip separators (commas, spaces, tabs, CR)
-    while (p < end && (*p == ',' || *p == ' ' || *p == '\t' || *p == '\r'))
-      ++p;
-    if (p >= end) break;
-    if (*p == '\n') {
-      if (cur_cols > 0) {
-        if (cols == 0) cols = cur_cols;
-        if (cur_cols != cols) return -2;  // ragged row
-        ++rows;
-        cur_cols = 0;
+    // one line
+    char* line_end = p;
+    while (line_end < end && *line_end != '\n') ++line_end;
+    // blank line (whitespace only)? skip it, like genfromtxt
+    bool blank = true;
+    for (char* q = p; q < line_end; ++q)
+      if (*q != ' ' && *q != '\t' && *q != '\r') { blank = false; break; }
+    if (!blank) {
+      int64_t cur_cols = 0;
+      char* f0 = p;
+      while (true) {
+        char* f1 = f0;
+        while (f1 < line_end && *f1 != ',') ++f1;
+        // trim field
+        char* a = f0;
+        char* b = f1;
+        while (a < b && (*a == ' ' || *a == '\t' || *a == '\r')) ++a;
+        while (b > a && (b[-1] == ' ' || b[-1] == '\t' || b[-1] == '\r')) --b;
+        if (a == b) {
+          vals.push_back(kNaN);  // empty field
+        } else {
+          bool ok = false;
+          char* q = a;
+          double v = parse_float(q, b, ok);
+          if (!ok || q != b) return -5;  // unparsable token
+          vals.push_back(v);
+        }
+        ++cur_cols;
+        if (f1 >= line_end) break;
+        f0 = f1 + 1;  // past the comma
       }
-      ++p;
-      continue;
+      if (cols == 0) cols = cur_cols;
+      if (cur_cols != cols) return -2;  // ragged row
+      ++rows;
     }
-    bool ok = false;
-    double v = parse_float(p, end, ok);
-    if (!ok) {  // unparsable token: skip the character
-      ++p;
-      continue;
-    }
-    vals.push_back(v);
-    ++cur_cols;
-  }
-  if (cur_cols > 0) {  // last line without trailing newline
-    if (cols == 0) cols = cur_cols;
-    if (cur_cols != cols) return -2;
-    ++rows;
+    p = line_end + 1;
   }
   if (rows == 0 || cols == 0) return -3;
 

@@ -39,39 +39,52 @@ _DYN_RADII = {"wc": 2.5, "wa": 2.0, "wp": 2.0}
 
 def _pad_frame_dets(wcs, was, wps, pedestrian_only, pad_to):
     """One frame's annotations -> padded (rphi (D,2), cls_radius, dyn_radius,
-    label, valid)."""
+    label, cls_valid, dyn_valid).
+
+    The dynamic mask ALWAYS sees wc+wa+wp (``dyn_valid``) — the reference
+    builds it from all three classes regardless of pedestrian_only
+    (``dataset_dr_spaam.py:406,511-523``); only the cls/reg target matching
+    (``cls_valid``) is restricted to wp in pedestrian_only mode. In that mode
+    wp entries are packed first so they can never be cut by padding.
+    """
     if pedestrian_only:
-        groups = [(wps, _CLS_RADII["wp"], _DYN_RADII["wp"], 1)]
+        groups = [
+            (wps, _CLS_RADII["wp"], _DYN_RADII["wp"], 1, True),
+            (wcs, _CLS_RADII["wc"], _DYN_RADII["wc"], 0, False),
+            (was, _CLS_RADII["wa"], _DYN_RADII["wa"], 0, False),
+        ]
     else:
         groups = [
-            (wcs, _CLS_RADII["wc"], _DYN_RADII["wc"], 1),
-            (was, _CLS_RADII["wa"], _DYN_RADII["wa"], 2),
-            (wps, _CLS_RADII["wp"], _DYN_RADII["wp"], 3),
+            (wcs, _CLS_RADII["wc"], _DYN_RADII["wc"], 1, True),
+            (was, _CLS_RADII["wa"], _DYN_RADII["wa"], 2, True),
+            (wps, _CLS_RADII["wp"], _DYN_RADII["wp"], 3, True),
         ]
     rphi = np.zeros((pad_to, 2), np.float32)
     cls_r = np.zeros(pad_to, np.float32)
     dyn_r = np.zeros(pad_to, np.float32)
     label = np.zeros(pad_to, np.int32)
-    valid = np.zeros(pad_to, bool)
+    cls_valid = np.zeros(pad_to, bool)
+    dyn_valid = np.zeros(pad_to, bool)
     i = 0
-    for dets, cr, dr, lab in groups:
+    for dets, cr, dr, lab, for_cls in groups:
         for r, phi in dets:
             if i >= pad_to:
                 break
             rphi[i] = (r, phi)
-            cls_r[i], dyn_r[i], label[i], valid[i] = cr, dr, lab, True
+            cls_r[i], dyn_r[i], label[i] = cr, dr, lab
+            cls_valid[i], dyn_valid[i] = for_cls, True
             i += 1
-    return rphi, cls_r, dyn_r, label, valid
+    return rphi, cls_r, dyn_r, label, cls_valid, dyn_valid
 
 
 @jax.jit
 def _targets_batched(scans, phi, dets_rphi, cls_radius, dyn_radius, labels,
-                     valid, odom0, odom1):
+                     cls_valid, dyn_valid, odom0, odom1):
     """All per-frame targets in one vmapped program."""
 
-    def one(scan, d_rphi, d_cls_r, d_dyn_r, d_lab, d_val, o0, o1):
+    def one(scan, d_rphi, d_cls_r, d_dyn_r, d_lab, d_cval, d_dval, o0, o1):
         cls, reg = tgt_ops.regression_targets(
-            scan, phi, d_rphi, d_cls_r, d_lab, d_val
+            scan, phi, d_rphi, d_cls_r, d_lab, d_cval
         )
         x = scan * jnp.cos(phi)
         y = scan * jnp.sin(phi)
@@ -89,12 +102,13 @@ def _targets_batched(scans, phi, dets_rphi, cls_radius, dyn_radius, labels,
             ),
             axis=-1,
         )
-        dyn = tgt_ops.dynamic_mask(xy, dets_xy, d_dyn_r, d_val)
+        dyn = tgt_ops.dynamic_mask(xy, dets_xy, d_dyn_r, d_dval)
         mask = dyn * tgt_ops.valid_range_mask(scan)
         return cls, reg, flow.astype(jnp.float32), mask.astype(jnp.float32)
 
     return jax.vmap(one)(
-        scans, dets_rphi, cls_radius, dyn_radius, labels, valid, odom0, odom1
+        scans, dets_rphi, cls_radius, dyn_radius, labels, cls_valid,
+        dyn_valid, odom0, odom1
     )
 
 
@@ -120,7 +134,8 @@ class DrowDetectionDataset:
         self.phi_grid = phi.astype(np.float32)
 
         all_scans, stack_idx, cur_idx = [], [], []
-        det_rphi, det_cls_r, det_dyn_r, det_lab, det_val = [], [], [], [], []
+        det_rphi, det_cls_r, det_dyn_r, det_lab = [], [], [], []
+        det_cval, det_dval = [], []
         odom0_l, odom1_l = [], []
         offset = 0
 
@@ -173,7 +188,8 @@ class DrowDetectionDataset:
                 det_cls_r.append(d[1])
                 det_dyn_r.append(d[2])
                 det_lab.append(d[3])
-                det_val.append(d[4])
+                det_cval.append(d[4])
+                det_dval.append(d[5])
 
             all_scans.append(scans)
             offset += len(scans)
@@ -193,7 +209,8 @@ class DrowDetectionDataset:
             jnp.asarray(np.stack(det_cls_r)),
             jnp.asarray(np.stack(det_dyn_r)),
             jnp.asarray(np.stack(det_lab)),
-            jnp.asarray(np.stack(det_val)),
+            jnp.asarray(np.stack(det_cval)),
+            jnp.asarray(np.stack(det_dval)),
             jnp.asarray(np.stack(odom0_l)),
             jnp.asarray(self.odom1),
         )
@@ -201,9 +218,10 @@ class DrowDetectionDataset:
         self.target_reg = np.asarray(reg)
         self.target_flow = np.asarray(flow)
         self.exclude_mask = np.asarray(mask)
-        # padded GT detections (sensor polar) for AP evaluation
+        # padded GT detections (sensor polar) for AP evaluation — only the
+        # classes the head is trained on (wp in pedestrian_only mode)
         self.dets_rphi = np.stack(det_rphi)
-        self.dets_valid = np.stack(det_val)
+        self.dets_valid = np.stack(det_cval)
 
     def gt_centers(self, idx) -> np.ndarray:
         """GT detection centers of one sample in sensor xy, ``(N, 2)``."""

@@ -70,7 +70,10 @@ def lzf_compress(data: bytes) -> bytes | None:
 def _parse_header(f):
     meta = {}
     while True:
-        line = f.readline().decode("ascii", errors="ignore").strip()
+        raw = f.readline()
+        if not raw:  # EOF before DATA line: truncated/malformed header
+            raise ValueError("unexpected EOF in PCD header (no DATA line)")
+        line = raw.decode("ascii", errors="ignore").strip()
         if not line or line.startswith("#"):
             continue
         key, _, rest = line.partition(" ")

@@ -145,3 +145,75 @@ def test_viz_smoke(tmp_path, rng):
     )
     stem = os.path.splitext(out)[0]
     assert os.path.exists(out) or os.path.isdir(stem)
+
+
+def test_pedestrian_only_dynamic_mask_sees_all_classes(tmp_path):
+    """In pedestrian_only mode the exclude (dynamic) mask must still account
+    for wc/wa people — the reference builds it from wc+wa+wp regardless
+    (dataset_dr_spaam.py:406,511-523); only cls/reg matching is wp-only."""
+    import glob
+    import shutil
+    from planar_optical_flow_tpu.data import (
+        write_synthetic_drow_split, DrowDetectionDataset,
+    )
+
+    d = str(tmp_path)
+    write_synthetic_drow_split(d, "train", num_sequences=1, num_frames=20)
+    ds_wp = DrowDetectionDataset(d, "train", num_scans=2,
+                                 pedestrian_only=True)
+
+    # same scene, but annotations moved wp -> wc (wheelchair people)
+    d2 = os.path.join(d, "aswc")
+    os.makedirs(os.path.join(d2, "train"))
+    for f in glob.glob(os.path.join(d, "train", "*")):
+        shutil.copy(f, os.path.join(d2, "train"))
+    for stem in glob.glob(os.path.join(d2, "train", "*.wp")):
+        base = stem[:-3]
+        shutil.copy(stem, base + ".wc")
+        # rebuild an empty .wp with the same ids
+        with open(base + ".wa") as f, open(base + ".wp", "w") as g:
+            for line in f:
+                sid = line.split(",", 1)[0]
+                g.write(f"{sid},[]\n")
+    ds_wc = DrowDetectionDataset(d2, "train", num_scans=2,
+                                 pedestrian_only=True)
+
+    # no wp annotations -> no positive cls targets ...
+    assert (ds_wc.target_cls == 0).all()
+    assert not ds_wc.dets_valid.any()
+    # ... but the dynamic mask still excludes points near the (wc) people.
+    # wc dyn radius (2.5) > wp (2.0), so everything wp-masked must be
+    # wc-masked too, and at least as much is masked overall.
+    assert ((ds_wp.exclude_mask == 0) <= (ds_wc.exclude_mask == 0)).all()
+    assert (ds_wc.exclude_mask == 0).sum() >= (ds_wp.exclude_mask == 0).sum()
+    assert (ds_wc.exclude_mask == 0).any()
+
+
+def test_pcd_truncated_header_raises(tmp_path):
+    from planar_optical_flow_tpu.data import pcd
+
+    p = tmp_path / "trunc.pcd"
+    p.write_bytes(b"# .PCD v0.7\nVERSION 0.7\nFIELDS x y z\n")
+    with pytest.raises(ValueError, match="EOF"):
+        pcd.read_pcd(str(p))
+
+
+def test_native_csv_genfromtxt_semantics(tmp_path):
+    """Empty fields -> NaN; unparsable tokens -> error (None), matching
+    np.genfromtxt(delimiter=',') instead of silently shifting columns."""
+    from planar_optical_flow_tpu.data import native
+
+    if native._load() is None:
+        pytest.skip("native lib unavailable")
+    p = str(tmp_path / "a.csv")
+    with open(p, "w") as f:
+        f.write("1,2.5,3\n4,,6\n7,8,\n")
+    a = native.read_csv(p)
+    ref = np.genfromtxt(p, delimiter=",")
+    assert a.shape == ref.shape == (3, 3)
+    assert np.isnan(a[1, 1]) and np.isnan(a[2, 2])
+    m = ~np.isnan(ref)
+    assert np.allclose(a[m], ref[m])
+    with open(p, "w") as f:
+        f.write("1,abc,3\n")
+    assert native.read_csv(p) is None
