@@ -1,0 +1,255 @@
+"""Serving-path spatial-attention gate, reformulated for TPU.
+
+The module gate (:class:`models.spatial_drow.SpatialAttentionGate`,
+rebuilding reference ``dr_spaam.py:176-215``) computes a dense
+``(B, ct, ct)`` similarity + masked softmax + ``attn @ template`` mix, even
+though only the ±window/2 band of offsets is ever nonzero. At 450 cutouts
+and D = L*C = 3584 template features the dense mix alone is 186 GFLOP per
+step at B=128 and re-reads the (400+ MB) template several times — measured
+~15 ms on v5e, template-bandwidth bound.
+
+This module computes the SAME math in band form:
+
+* similarity per offset ``o in [-hw, hw]``: ``s_o[i] = emb_x[i] . emb_t[i+o]``
+  — 11 shifted 128-d dot products (VPU) instead of a (450, 450) matmul,
+* softmax over the (validity-masked) offset axis — equivalent to the dense
+  masked softmax because the reference's edge-clamped band mask is exactly
+  the set of in-range positions,
+* mix ``mixed[i] = sum_o attn[i, o] * template[i + o]`` — a banded weighted
+  sum (11 VPU FMAs) instead of a (450, 450) @ (450, 3584) matmul; runs as a
+  Pallas kernel with the template tile VMEM-resident (read once), with an
+  XLA shifted-FMA fallback,
+* ``sim_band`` (the flow-head feature) is recovered exactly — including the
+  reference's edge-clamped duplicate entries — via a static (ct, window)
+  offset-index map.
+
+Embedding carry: the embed layer is Dense + eval-mode BatchNorm, i.e. a
+single affine map A. Affine maps commute with the band mix (per-row scalar
+weights, shifts along the cutout axis), so
+
+    z_{t+1} = A(template_{t+1}) = alpha * A(x) + (1-alpha) * sum_o w_o shift(A(template_t), o)
+
+and the gate can CARRY the pre-activation embedding ``z`` (B, ct, 128)
+instead of re-embedding the (B, ct, 3584) template every step — saving one
+large matmul and a full template read per step.
+
+Eval-mode only (BatchNorm running stats); training uses the flax module.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LEAKY_SLOPE = 0.1
+
+
+class GateParams(NamedTuple):
+    w: jax.Array  # (D, 128) folded Dense+BN weight
+    b: jax.Array  # (128,) folded bias
+    alpha: float
+    window_size: int
+
+
+def fold_gate_params(gate_variables, alpha: float, window_size: int,
+                     dtype=jnp.float32) -> GateParams:
+    """Fold the gate's embed Dense + eval BatchNorm into one affine map.
+
+    ``gate_variables``: {"params": {"embed": {kernel, bias},
+    "embed_bn": {scale, bias}}, "batch_stats": {"embed_bn": {mean, var}}}
+    (the ``gate`` sub-tree of the model variables).
+    """
+    p = gate_variables["params"]
+    s = gate_variables["batch_stats"]
+    w = np.asarray(p["embed"]["kernel"], np.float32)
+    b = np.asarray(p["embed"].get("bias", np.zeros(w.shape[-1])), np.float32)
+    gamma = np.asarray(p["embed_bn"]["scale"], np.float32)
+    beta = np.asarray(p["embed_bn"]["bias"], np.float32)
+    mean = np.asarray(s["embed_bn"]["mean"], np.float32)
+    var = np.asarray(s["embed_bn"]["var"], np.float32)
+    eps = 1e-5
+    scale = gamma / np.sqrt(var + eps)
+    return GateParams(
+        w=jnp.asarray(w * scale, dtype),
+        b=jnp.asarray((b - mean) * scale + beta, dtype),
+        alpha=float(alpha),
+        window_size=int(window_size),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _band_index_map(ct: int, window_size: int) -> np.ndarray:
+    """(ct, window) indices into the offset axis reproducing the reference's
+    edge-clamped band gather: slot o of row i reads offset clip(i+o)-i."""
+    hw = window_size // 2
+    i = np.arange(ct)[:, None]
+    o = np.arange(-hw, hw + 1)[None, :]
+    return (np.clip(i + o, 0, ct - 1) - i + hw).astype(np.int32)
+
+
+def _shift_rows(a, o):
+    """shifted[i] = a[i + o] along axis 1, zero-padded (static o)."""
+    if o == 0:
+        return a
+    if o > 0:
+        pad = jnp.zeros_like(a[:, :o])
+        return jnp.concatenate([a[:, o:], pad], axis=1)
+    pad = jnp.zeros_like(a[:, o:])
+    return jnp.concatenate([pad, a[:, :o]], axis=1)
+
+
+def _band_attention(params: GateParams, zx, z_t):
+    """Banded logits + masked softmax + exact sim_band.
+
+    zx, z_t: (B, ct, 128) pre-activation embeddings.
+    Returns (attn (B, ct, window) with exact zeros at invalid offsets,
+             sim_band (B, ct, window) reference-clamped similarity values).
+    """
+    ct = zx.shape[1]
+    hw = params.window_size // 2
+    ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
+    et = jnp.where(z_t > 0, z_t, _LEAKY_SLOPE * z_t)
+
+    s = jnp.stack(
+        [jnp.sum(ex * _shift_rows(et, o), axis=-1)
+         for o in range(-hw, hw + 1)],
+        axis=-1,
+    )  # (B, ct, window)
+
+    i = jnp.arange(ct)[:, None]
+    o = jnp.arange(-hw, hw + 1)[None, :]
+    valid = ((i + o >= 0) & (i + o < ct))  # (ct, window)
+    dt = s.dtype
+    masked = jnp.where(valid[None], s, jnp.asarray(-1e10, dt))
+    attn = jax.nn.softmax(masked, axis=-1)
+    attn = jnp.where(valid[None], attn, jnp.asarray(0, dt))
+    attn = attn / jnp.maximum(attn.sum(axis=-1, keepdims=True),
+                              jnp.asarray(1e-20, dt))
+
+    idx = jnp.asarray(_band_index_map(ct, params.window_size))
+    sim_band = jnp.take_along_axis(s, jnp.broadcast_to(idx[None], s.shape),
+                                   axis=-1)
+    return attn, sim_band
+
+
+def _banded_mix_xla(attn, template, hw):
+    """mixed[i] = sum_o attn[i, o] * template[i + o] via shifted FMAs."""
+    mixed = None
+    for k, o in enumerate(range(-hw, hw + 1)):
+        term = attn[..., k:k + 1] * _shift_rows(template, o)
+        mixed = term if mixed is None else mixed + term
+    return mixed
+
+
+def _mix_kernel(attn_ref, x_ref, t_ref, out_ref, *, hw, alpha):
+    """One (ct, D-chunk) block: new_template = alpha*x + (1-alpha)*banded mix.
+
+    Rolled rows that wrap around carry attn == 0 (the validity mask), so no
+    edge masking is needed.
+    """
+    # rolls in f32: Mosaic's sublane rotate is 32-bit only (bf16 sublanes
+    # are 2-packed); accumulate in f32 anyway
+    t = t_ref[0].astype(jnp.float32)       # (ct, d_chunk)
+    attn = attn_ref[0].astype(jnp.float32)  # (ct, window)
+    acc = attn[:, hw:hw + 1] * t  # o = 0
+    for k, o in enumerate(range(-hw, hw + 1)):
+        if o == 0:
+            continue
+        # circular roll by (-o mod ct); wrapped rows have attn == 0
+        acc += attn[:, k:k + 1] * pltpu.roll(t, (-o) % t.shape[0], axis=0)
+    x = x_ref[0].astype(jnp.float32)
+    out_ref[0] = (alpha * x + (1.0 - alpha) * acc).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "window_size",
+                                             "d_chunk", "interpret"))
+def banded_mix_update(attn, x, template, alpha: float, window_size: int,
+                      d_chunk: int = 896, interpret: bool = False):
+    """Fused ``alpha * x + (1 - alpha) * (banded attn) @ template``.
+
+    attn: (B, ct, window); x, template: (B, ct, D). One Pallas program; the
+    template block stays VMEM-resident so it is read from HBM exactly once.
+    """
+    b, ct, d = template.shape
+    hw = window_size // 2
+    if d % d_chunk:
+        d_chunk = d
+    grid = (b, d // d_chunk)
+    kernel = functools.partial(_mix_kernel, hw=hw, alpha=alpha)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, ct, d), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ct, 2 * hw + 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct, d_chunk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct, d_chunk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ct, d_chunk), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        attn.reshape(b, ct, 2 * hw + 1),
+        x.reshape(b, ct, d),
+        template.reshape(b, ct, d),
+    )
+
+
+def embed(params: GateParams, x):
+    """Pre-activation embedding zx = x @ W + b, f32 accumulation."""
+    b, ct, d = x.shape
+    z = jax.lax.dot_general(
+        x.reshape(b * ct, d), params.w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + params.b
+    return z.reshape(b, ct, -1).astype(x.dtype)
+
+
+def gate_step(params: GateParams, x, template, z_t, *,
+              use_pallas: bool = True, interpret: bool = False):
+    """One gate update.
+
+    Args:
+      x: (B, ct, D) current-scan features.
+      template: (B, ct, D) carried template.
+      z_t: (B, ct, 128) carried pre-activation embedding of ``template``.
+
+    Returns (new_template, new_z, sim_band).
+    """
+    hw = params.window_size // 2
+    zx = embed(params, x)
+    attn, sim_band = _band_attention(params, zx, z_t)
+
+    if use_pallas:
+        new_template = banded_mix_update(
+            attn, x, template, params.alpha, params.window_size,
+            interpret=interpret,
+        )
+    else:
+        mixed = _banded_mix_xla(attn, template, hw)
+        new_template = params.alpha * x + (1.0 - params.alpha) * mixed
+
+    z_mixed = _banded_mix_xla(attn, z_t, hw)  # 128-d: cheap in XLA
+    new_z = params.alpha * zx + (1.0 - params.alpha) * z_mixed
+    return new_template, new_z, sim_band
+
+
+def gate_bootstrap(params: GateParams, x):
+    """First scan of a stream: template = x, and the gate only supplies the
+    self-similarity band (reference ``dr_spaam.py:242-245``).
+
+    Returns (template, z, sim_band).
+    """
+    zx = embed(params, x)
+    _, sim_band = _band_attention(params, zx, zx)
+    return x, zx, sim_band

@@ -263,6 +263,115 @@ def make_quantized_stream_step(model, variables, cutout_kwargs, calib_scans,
     return dispatch
 
 
+def make_serve_step(model, variables, cutout_kwargs, num_pts: int = 450,
+                    nms_min_dist: float = 0.5, with_nms: bool = True,
+                    compute_dtype=jnp.bfloat16, gate_mix: str = "pallas",
+                    interpret: bool = False):
+    """Production serving step: the fastest measured composition of the
+    per-scan pipeline (see BASELINE.md ablations).
+
+    vs :func:`make_stream_step`: the spatial-attention gate runs in banded
+    form (``infer/fast_gate.py``) carrying the template's pre-activation
+    embedding — one 186 GFLOP dense mix and one full template re-read less
+    per step. The carry is a dict ``{"template", "z"}``.
+
+    ``gate_mix``: "pallas" (VMEM-resident banded mix kernel) or "xla"
+    (shifted-FMA fallback).
+
+    Returns ``step(carry, scan) -> (carry', outputs)`` with the (eval-mode)
+    weights closed over; pass ``carry=None`` to bootstrap a stream.
+    """
+    from planar_optical_flow_tpu.infer import fast_gate as fg
+
+    phi = get_laser_phi(num_pts=num_pts)
+    phi_j = jnp.asarray(phi, dtype=jnp.float32)
+    is_flow = isinstance(model, FlowDrow)
+    det_vars = (
+        {"params": variables["params"]["dr_spaam"],
+         "batch_stats": variables["batch_stats"]["dr_spaam"]}
+        if is_flow else variables
+    )
+    gate_params = fg.fold_gate_params(
+        {"params": det_vars["params"]["gate"],
+         "batch_stats": det_vars["batch_stats"]["gate"]},
+        alpha=model.alpha, window_size=model.window_size,
+        dtype=compute_dtype,
+    )
+    cdt = compute_dtype or jnp.float32
+    cast_vars = cast_variables(variables, cdt) if compute_dtype else variables
+
+    def backbone_apply(cutouts):
+        """(B, P, C) -> (B, P, L4*256) flat features."""
+        b, p, c = cutouts.shape
+        if is_flow:
+            fn = lambda m, a: m.dr_spaam.backbone(a, False)
+        else:
+            fn = lambda m, a: m.backbone(a, False)
+        f = model.apply(cast_vars, cutouts.reshape(b * p, c, 1), method=fn)
+        return f.reshape(b, p, f.shape[-2] * f.shape[-1])
+
+    def head_apply(flat):
+        b, p, d = flat.shape
+        if is_flow:
+            fn = lambda m, a: m.dr_spaam.head(a, False)
+        else:
+            fn = lambda m, a: m.head(a, False)
+        cls, reg = model.apply(cast_vars, flat.reshape(b * p, d // 256, 256),
+                               method=fn)
+        return cls.reshape(b, p, -1), reg.reshape(b, p, 2)
+
+    def flow_apply(sim, cur_scan):
+        return model.apply(
+            cast_vars, sim, cur_scan,
+            method=lambda m, s, c: m._flow_head(s, c, train=False),
+        )
+
+    use_pallas = gate_mix == "pallas"
+
+    def step(carry, scan):
+        cutouts = _encode_single(scan, phi, cutout_kwargs)
+        if compute_dtype is not None:
+            cutouts = cutouts.astype(compute_dtype)
+        feats = backbone_apply(cutouts)
+        if carry is None:
+            template, z, sim_band = fg.gate_bootstrap(gate_params, feats)
+        else:
+            template, z, sim_band = fg.gate_step(
+                gate_params, feats, carry["template"], carry["z"],
+                use_pallas=use_pallas, interpret=interpret,
+            )
+        pred_cls, pred_reg = head_apply(template)
+        pred_cls = pred_cls.astype(jnp.float32)
+        pred_reg = pred_reg.astype(jnp.float32)
+        probs = jax.nn.sigmoid(pred_cls)
+        out = {"pred_cls": probs, "pred_reg": pred_reg}
+        if is_flow:
+            flow = flow_apply(
+                sim_band, scan.astype(cdt) if compute_dtype else scan
+            ).astype(jnp.float32)
+            out["pred_flow"] = canonical_to_global_flow(flow, phi_j)
+        if with_nms:
+            conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
+            det_xys, det_cls, keep, inst = jax.vmap(
+                lambda s, c, r: nms_predicted_center(
+                    s, phi_j, c, r, min_dist=nms_min_dist
+                )
+            )(scan, conf, pred_reg)
+            out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
+                       instance_mask=inst)
+        return {"template": template, "z": z}, out
+
+    step_boot = jax.jit(lambda s: step(None, s))
+    step_carry = jax.jit(step, donate_argnums=(0,))
+
+    def dispatch(carry, scan):
+        if carry is None:
+            return step_boot(scan)
+        return step_carry(carry, scan)
+
+    return dispatch
+
+
 def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
                      nms_min_dist: float = 0.5, with_nms: bool = True,
                      donate_template: bool = True, compute_dtype=None):

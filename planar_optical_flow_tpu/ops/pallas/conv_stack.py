@@ -1,0 +1,300 @@
+"""Pallas TPU kernels v2: fused DROW conv stacks, layout-native.
+
+Round-1's fused kernels (``fused_drow.py``) kept activations as 3-D
+``(tile, L, C)`` blocks and built k=3 taps by concatenating shifted copies
+along C + reshaping to 2-D — every layer paid Mosaic relayouts at L=56/14
+sublane shapes and the kernel LOST to XLA's conv lowering (17 ms vs 8.3 ms
+on the B=64 probe).
+
+This version never changes layout inside the kernel:
+
+* activations are 2-D ``(rows, C)`` with rows = cutouts x positions
+  (position-major within each cutout) and C in lanes (64..512, aligned),
+* the k=3 taps are two sublane ``pltpu.roll``s of the f32 activation
+  (Mosaic's rotate is 32-bit only) with static cutout-boundary masks —
+  wrapped rows are zeroed, exactly SAME padding,
+* per-layer the taps feed the MXU either as three (rows, Cin) matmuls
+  accumulated in f32 (``conv_mode="3mm"``) or lane-concatenated into one
+  (rows, 3*Cin) @ (3*Cin, Cout) matmul (``conv_mode="concat"`` — 3x the
+  contraction depth, better MXU utilization at Cin=64/128),
+* layer 1 of the backbone (Cin=1 — no MXU-friendly in-kernel form) runs in
+  XLA via :func:`backbone_layer1` and hands the kernel a flat
+  ``(N*L, 64)`` activation,
+* max-pool/2 and the head's temporal mean use the row-major identity
+  ``(R, C) -> (R/k, k*C)`` (one reshape, then a lane-slice max/sum),
+* BatchNorm is pre-folded (inference).
+
+The backbone tail (reference ``dr_spaam.py:79-97``: blocks 1-2) and head
+(``dr_spaam.py:102-114``: blocks 3-4 + cls/reg) each run as ONE pallas
+program: HBM traffic is the input + final output only, vs ~12 full
+activation round-trips in the layer-by-layer XLA lowering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from planar_optical_flow_tpu.ops.pallas.fused_drow import (
+    fold_conv_bn,
+    _block_params,
+)
+
+_LEAKY_SLOPE = 0.1
+
+# static plans: ("conv",) / ("pool",) / ("mean",); layer-1 of the backbone
+# is NOT in the plan (see backbone_layer1)
+_BACKBONE_PLAN = (
+    ("conv",), ("conv",), ("pool",),
+    ("conv",), ("conv",), ("conv",), ("pool",),
+)
+_HEAD_PLAN = (
+    ("conv",), ("conv",), ("conv",), ("pool",),
+    ("conv",), ("conv",), ("mean",),
+)
+
+
+def prepare_stack_weights(block_param_list):
+    """Folded conv (w (3, Cin, Cout), b) list -> flat [wcat (3*Cin, Cout),
+    b (Cout,), ...] with taps stacked on the contraction axis
+    (tap-major: rows [0:Cin] = left tap)."""
+    flat = []
+    for w, b in block_param_list:
+        w = np.asarray(w, np.float32)
+        k, cin, cout = w.shape
+        flat += [jnp.asarray(w.reshape(k * cin, cout)),
+                 jnp.asarray(np.asarray(b, np.float32))]
+    return flat
+
+
+def backbone_stack_weights(variables):
+    """DrowBackbone variables -> (layer-1 (w (3,1,64), b), flat tap-stacked
+    weights for layers 2..6), f32, BN folded."""
+    blocks = (_block_params(variables, "block1", 3)
+              + _block_params(variables, "block2", 3))
+    w1, b1 = blocks[0]
+    layer1 = (jnp.asarray(np.asarray(w1, np.float32)),
+              jnp.asarray(np.asarray(b1, np.float32)))
+    return layer1, prepare_stack_weights(blocks[1:])
+
+
+def head_stack_weights(variables):
+    """DrowHead variables -> (conv tap list, (wc, bc, wr, br)) f32 folded."""
+    blocks = (_block_params(variables, "block3", 3)
+              + _block_params(variables, "block4", 2))
+    p = variables["params"]
+    heads = (jnp.asarray(p["cls"]["kernel"]), jnp.asarray(p["cls"]["bias"]),
+             jnp.asarray(p["reg"]["kernel"]), jnp.asarray(p["reg"]["bias"]))
+    return prepare_stack_weights(blocks), heads
+
+
+def backbone_layer1(cutouts, layer1_weights, compute_dtype=jnp.bfloat16):
+    """Backbone layer 1 in XLA: (N, L) cutouts -> (N*L, 64) flat activation.
+
+    Cin=1 has no MXU-friendly in-kernel form; this broadcast-FMA + flatten
+    costs one (N*L, 64) write and fuses with the cutout producer.
+    """
+    n, l = cutouts.shape
+    w, b = layer1_weights  # (3, 1, 64), (64,)
+    x = cutouts.astype(jnp.float32)
+    z = jnp.zeros_like(x[:, :1])
+    left = jnp.concatenate([z, x[:, :-1]], axis=1)
+    right = jnp.concatenate([x[:, 1:], z], axis=1)
+    wc = w[:, 0, :]  # (3, 64)
+    acc = (left[..., None] * wc[0] + x[..., None] * wc[1]
+           + right[..., None] * wc[2]) + b
+    act = jnp.where(acc > 0, acc, _LEAKY_SLOPE * acc)
+    return act.reshape(n * l, 64).astype(compute_dtype)
+
+
+def _leaky(x):
+    return jnp.where(x > 0, x, _LEAKY_SLOPE * x)
+
+
+def _row_masks(rows, l):
+    """(rows, 1) masks: first position / last position of each cutout."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    pos = jax.lax.rem(r, l)
+    return pos == 0, pos == (l - 1)
+
+
+def _conv_rolled(x, wcat, b, l, compute_dtype, conv_mode):
+    """k=3 SAME conv on (rows, Cin) f32 activations, position-major rows of
+    length-l cutouts; returns (rows, Cout) f32, post-leaky.
+
+    Rolls run on the f32 activation (Mosaic's sublane rotate is 32-bit
+    only); operands are cast to ``compute_dtype`` just for the MXU matmuls,
+    which accumulate in f32. ``wcat``: (3*Cin, Cout) tap-stacked.
+    """
+    rows, cin = x.shape
+    first, last = _row_masks(rows, l)
+    dn = (((1,), (0,)), ((), ()))
+    w = wcat.astype(compute_dtype)
+    if conv_mode == "notap":  # DEBUG ONLY: center tap x3 (wrong math)
+        acc = 3.0 * jax.lax.dot_general(
+            x.astype(compute_dtype), w[cin:2 * cin], dn,
+            preferred_element_type=jnp.float32)
+        return _leaky(acc + b)
+    # left[r] = x[r-1]: roll down by 1; invalid on each cutout's first row
+    left = jnp.where(first, 0.0, pltpu.roll(x, 1, axis=0))
+    # right[r] = x[r+1]: roll up by 1 (= down by rows-1)
+    right = jnp.where(last, 0.0, pltpu.roll(x, rows - 1, axis=0))
+    if conv_mode == "concat":
+        xcat = jnp.concatenate([left, x, right], axis=1).astype(compute_dtype)
+        # reorder rows of w to [left|center|right] tap blocks? prepare_stack
+        # stores tap-major already: [0:cin]=left, [cin:2cin]=center
+        acc = jax.lax.dot_general(xcat, w, dn,
+                                  preferred_element_type=jnp.float32)
+    else:  # "3mm"
+        acc = jax.lax.dot_general(x.astype(compute_dtype), w[cin:2 * cin],
+                                  dn, preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(left.astype(compute_dtype), w[:cin], dn,
+                                   preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(right.astype(compute_dtype),
+                                   w[2 * cin:], dn,
+                                   preferred_element_type=jnp.float32)
+    return _leaky(acc + b)
+
+
+def _pool2(x):
+    """Max-pool/2 over rows via the row-major (R, C) -> (R/2, 2C) identity."""
+    rows, c = x.shape
+    y = x.reshape(rows // 2, 2 * c)
+    return jnp.maximum(y[:, :c], y[:, c:])
+
+
+def _mean_rows(x, k):
+    """Mean over groups of k consecutive rows: (R, C) -> (R/k, C)."""
+    rows, c = x.shape
+    y = x.reshape(rows // k, k * c)
+    acc = y[:, :c]
+    for i in range(1, k):
+        acc = acc + y[:, i * c:(i + 1) * c]
+    return acc / k
+
+
+def _run_plan(x, ws, plan, l0, compute_dtype, conv_mode):
+    """Kernel body: x (rows, Cin) f32, static plan. Returns f32."""
+    l = l0
+    wi = 0
+    for op in plan:
+        if op[0] == "conv":
+            x = _conv_rolled(x, ws[wi][:], ws[wi + 1][:], l, compute_dtype,
+                             conv_mode)
+            wi += 2
+        elif op[0] == "pool":
+            x = _pool2(x)
+            l //= 2
+        elif op[0] == "mean":
+            x = _mean_rows(x, l)
+            l = 1
+    return x
+
+
+def _backbone_kernel(x_ref, *refs, l0, compute_dtype, conv_mode):
+    out_ref = refs[-1]
+    ws = refs[:-1]
+    out = _run_plan(x_ref[:].astype(jnp.float32), ws, _BACKBONE_PLAN, l0,
+                    compute_dtype, conv_mode)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _head_kernel(x_ref, *refs, l0, compute_dtype, conv_mode):
+    cls_ref, reg_ref = refs[-2], refs[-1]
+    ws = refs[:-6]
+    wc, bc, wr, br = (r[:] for r in refs[-6:-2])
+    x = _run_plan(x_ref[:].astype(jnp.float32), ws, _HEAD_PLAN, l0,
+                  compute_dtype, conv_mode)
+    xc = x.astype(compute_dtype)
+    dn = (((1,), (0,)), ((), ()))
+    cls_ref[:] = (jax.lax.dot_general(
+        xc, wc.astype(compute_dtype), dn,
+        preferred_element_type=jnp.float32) + bc).astype(cls_ref.dtype)
+    reg_ref[:] = (jax.lax.dot_general(
+        xc, wr.astype(compute_dtype), dn,
+        preferred_element_type=jnp.float32) + br).astype(reg_ref.dtype)
+
+
+def _pad_rows(n, tile):
+    return ((n + tile - 1) // tile) * tile
+
+
+@functools.partial(jax.jit, static_argnames=("l", "tile", "compute_dtype",
+                                             "conv_mode", "interpret"))
+def fused_backbone_v2(act1, weights, l: int = 56, tile: int = 64,
+                      compute_dtype=jnp.bfloat16, conv_mode: str = "concat",
+                      interpret: bool = False):
+    """Flat layer-1 activation (N*L, 64) -> (N, L//4, 256) features.
+
+    ``act1`` from :func:`backbone_layer1`; ``weights`` the second element of
+    :func:`backbone_stack_weights`.
+    """
+    nl, c1 = act1.shape
+    n = nl // l
+    n_pad = _pad_rows(n, tile)
+    x = jnp.pad(act1, ((0, (n_pad - n) * l), (0, 0)))
+    grid = (n_pad // tile,)
+    l4 = l // 4
+    kernel = functools.partial(_backbone_kernel, l0=l,
+                               compute_dtype=compute_dtype,
+                               conv_mode=conv_mode)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad * l4, 256), compute_dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((tile * l, c1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM) for w in weights],
+        out_specs=pl.BlockSpec((tile * l4, 256), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, *weights)
+    return out[:n * l4].reshape(n, l4, 256)
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "l4", "tile",
+                                             "compute_dtype", "conv_mode",
+                                             "interpret"))
+def fused_head_v2(feats_flat, conv_weights, head_weights,
+                  num_classes: int = 1, l4: int = 14, tile: int = 64,
+                  compute_dtype=jnp.bfloat16, conv_mode: str = "concat",
+                  interpret: bool = False):
+    """Flat (N*L4, 256) features -> (cls (N, num_classes), reg (N, 2)).
+
+    ``conv_weights``/``head_weights`` from :func:`head_stack_weights`.
+    """
+    nl, c = feats_flat.shape
+    n = nl // l4
+    n_pad = _pad_rows(n, tile)
+    x = jnp.pad(feats_flat, ((0, (n_pad - n) * l4), (0, 0)))
+    grid = (n_pad // tile,)
+    weights = list(conv_weights) + list(head_weights)
+    kernel = functools.partial(_head_kernel, l0=l4,
+                               compute_dtype=compute_dtype,
+                               conv_mode=conv_mode)
+    cls, reg = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, num_classes), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[pl.BlockSpec((tile * l4, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM) for w in weights],
+        out_specs=(
+            pl.BlockSpec((tile, num_classes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x, *weights)
+    return cls[:n], reg[:n]

@@ -2,6 +2,9 @@
 
 from planar_optical_flow_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    make_mesh_from_config,
+    default_partition_rule,
+    state_shardings,
     batch_sharding,
     replicated_sharding,
     shard_batch,

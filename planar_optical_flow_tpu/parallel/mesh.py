@@ -46,6 +46,85 @@ def make_mesh(axis_names=("data",), axis_sizes=None, devices=None) -> Mesh:
     return Mesh(arr, axis_names)
 
 
+def make_mesh_from_config(mesh_cfg, devices=None) -> Mesh:
+    """Mesh from a config mapping, e.g. ``{"data": 4, "model": 2}``.
+
+    A value of -1 (or "auto") on exactly one axis absorbs the remaining
+    devices. ``None``/empty -> 1-D all-``data`` mesh.
+    """
+    devices = devices if devices is not None else jax.devices()
+    if not mesh_cfg:
+        return make_mesh(devices=devices)
+    names, sizes = [], []
+    auto_idx = None
+    for k, v in mesh_cfg.items():
+        names.append(str(k))
+        if v in (-1, "auto", None):
+            if auto_idx is not None:
+                raise ValueError("only one mesh axis may be auto")
+            auto_idx = len(sizes)
+            sizes.append(-1)
+        else:
+            sizes.append(int(v))
+    fixed = int(np.prod([s for s in sizes if s > 0]))
+    if auto_idx is not None:
+        sizes[auto_idx] = len(devices) // max(fixed, 1)
+    total = int(np.prod(sizes))
+    if total > len(devices) or total < 1:
+        raise ValueError(
+            f"mesh {dict(zip(names, sizes))} needs {total} devices, "
+            f"have {len(devices)}"
+        )
+    return make_mesh(tuple(names), tuple(sizes), devices=devices[:total])
+
+
+def default_partition_rule(mesh: Mesh):
+    """Parameter partition rule for the DR-SPAAM family on a
+    ``(data, model)`` mesh (Megatron-style, XLA inserts the collectives):
+
+    * spatial-attention ``embed`` dense: column-parallel (output 128 split
+      over ``model``); the banded-similarity contraction over the embedding
+      dim becomes a psum,
+    * head ``block3/ConvBlock_2`` (256->512, the widest conv): column-
+      parallel, with its BN/bias vectors sharded to match,
+    * head ``block4/ConvBlock_0`` (512->256): row-parallel — pairs with the
+      previous rule so the 512-channel activation never gathers.
+
+    Everything else (and every leaf on a mesh without a ``model`` axis) is
+    replicated. Returns ``rule(path, leaf) -> NamedSharding``.
+    """
+    rep = NamedSharding(mesh, P())
+    has_model = "model" in mesh.axis_names and mesh.shape["model"] > 1
+
+    def rule(path, leaf):
+        if not has_model or not hasattr(leaf, "ndim"):
+            return rep
+        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        nset = set(names)
+        if "embed" in nset:
+            if leaf.ndim == 2:
+                return NamedSharding(mesh, P(None, "model"))
+            if leaf.ndim == 1:
+                return NamedSharding(mesh, P("model"))
+        if "block3" in nset and "ConvBlock_2" in nset:
+            if leaf.ndim == 3:
+                return NamedSharding(mesh, P(None, None, "model"))
+            if leaf.ndim == 1:
+                return NamedSharding(mesh, P("model"))
+        if "block4" in nset and "ConvBlock_0" in nset and leaf.ndim == 3:
+            return NamedSharding(mesh, P(None, "model", None))
+        return rep
+
+    return rule
+
+
+def state_shardings(mesh: Mesh, state, rule=None):
+    """Sharding pytree for a train state (params + optimizer mirrors follow
+    the same path-based rule; optax state paths contain the param paths)."""
+    rule = rule or default_partition_rule(mesh)
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over ``axis``."""
     return NamedSharding(mesh, P(axis))

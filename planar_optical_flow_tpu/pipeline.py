@@ -77,6 +77,7 @@ def normalize_config(cfg: dict) -> dict:
                 "eval_interval": cfg.get("eval_interval", 5),
                 "epoch": cfg.get("epochs", 1),
             },
+            "mesh": cfg.get("mesh"),
             "Optim": {
                 "scheduler_kwargs": cfg.get(
                     "scheduler_kwargs",
@@ -213,17 +214,30 @@ class Pipeline:
         pretrained = cfg["model"].get("pretrained_detector")
         if pretrained and cfg["model"]["type"] == "flow_drow":
             self.load_pretrained_detector(pretrained)
+        # mesh knob: pipeline.mesh: {data: N, model: M} (-1/"auto" absorbs
+        # the remaining devices). Default: 1-D data-parallel over all
+        # devices. With a model axis > 1, the state is partitioned by the
+        # default Megatron-style rule (parallel.default_partition_rule).
         mesh = None
+        sharding_fn = None
         if use_mesh:
             try:
-                mesh = make_mesh()
-                if bsz % mesh.devices.size != 0:
+                from planar_optical_flow_tpu.parallel import (
+                    make_mesh_from_config, state_shardings,
+                )
+
+                mesh = make_mesh_from_config(pcfg.get("mesh"))
+                data_size = dict(mesh.shape).get("data", mesh.devices.size)
+                if bsz % max(data_size, 1) != 0:
                     mesh = None  # fall back to single-device jit
+                elif dict(mesh.shape).get("model", 1) > 1:
+                    sharding_fn = state_shardings
             except Exception:
                 mesh = None
         self.trainer = Trainer(
             self.logger, pcfg["Trainer"], self.task, lr_schedule=schedule,
-            mesh=mesh, install_signal_handlers=install_signal_handlers,
+            mesh=mesh, state_sharding_fn=sharding_fn,
+            install_signal_handlers=install_signal_handlers,
         )
 
     # ------------------------------------------------------------- control

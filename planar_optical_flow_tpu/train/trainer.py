@@ -15,8 +15,10 @@ Behavioral contract of the reference trainers (``src/pipeline/trainer.py``,
   (``trainer.py:122-126``).
 
 When a mesh is provided, the step is jit-compiled with the batch sharded on
-the ``data`` axis and the state replicated — the gradient all-reduce rides
-ICI via XLA collectives.
+the ``data`` axis; the state is replicated by default, or partitioned by a
+``state_sharding_fn`` (e.g. :func:`parallel.state_shardings` with the
+Megatron-style rule on a ``(data, model)`` mesh) — the gradient all-reduce
+and any tensor-parallel collectives ride ICI via XLA.
 """
 
 from __future__ import annotations
@@ -36,11 +38,16 @@ from planar_optical_flow_tpu.parallel.mesh import (
 
 class Trainer:
     def __init__(self, logger, cfg: dict, task, lr_schedule=None, mesh=None,
-                 install_signal_handlers: bool = True, seed: int = 0):
+                 state_sharding_fn=None, install_signal_handlers: bool = True,
+                 seed: int = 0):
         self._logger = logger
         self._task = task
         self._lr_schedule = lr_schedule
         self._mesh = mesh
+        # state -> sharding pytree; used for in/out shardings + placement
+        # (tensor/model-parallel); None = fully replicated state
+        self._state_sharding_fn = state_sharding_fn
+        self._state_shardings = None
         self._grad_norm_clip = cfg.get("grad_norm_clip", 0.0)
         self._ckpt_interval = cfg.get("ckpt_interval", 5)
         self._eval_interval = cfg.get("eval_interval", 5)
@@ -97,14 +104,19 @@ class Trainer:
         if self._mesh is not None:
             bs = batch_sharding(self._mesh)
             rep = replicated_sharding(self._mesh)
-            # shardings are pytree prefixes: replicated state/rng, batch
-            # sharded on the data axis
+            st_sh = (
+                self._state_sharding_fn(self._mesh, state)
+                if self._state_sharding_fn is not None else rep
+            )
+            self._state_shardings = st_sh
+            # batch sharded on the data axis; state per the sharding rule
+            # (replicated by default), scalars/rng replicated
             self._train_step = jax.jit(
-                train_step, in_shardings=(rep, bs, rep),
-                out_shardings=(rep, rep), donate_argnums=(0,),
+                train_step, in_shardings=(st_sh, bs, rep),
+                out_shardings=(st_sh, rep), donate_argnums=(0,),
             )
             self._eval_step = jax.jit(
-                eval_step, in_shardings=(rep, bs), out_shardings=rep,
+                eval_step, in_shardings=(st_sh, bs), out_shardings=rep,
             )
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
@@ -117,8 +129,10 @@ class Trainer:
 
     def _place_state(self, state):
         if self._mesh is not None:
-            rep = replicated_sharding(self._mesh)
-            return jax.device_put(state, rep)
+            sh = (self._state_shardings
+                  if self._state_shardings is not None
+                  else replicated_sharding(self._mesh))
+            return jax.device_put(state, sh)
         return state
 
     # ---------------------------------------------------------------- API

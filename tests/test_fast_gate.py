@@ -1,0 +1,138 @@
+"""Parity: banded serving gate (infer/fast_gate.py) vs the flax module gate.
+
+The fast gate must reproduce the module's (reference-parity) template
+recursion and sim_band exactly in f32 — including the edge-clamped duplicate
+band entries — across multiple streaming steps, carrying the pre-activation
+embedding instead of re-embedding the template.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from planar_optical_flow_tpu.models.spatial_drow import SpatialAttentionGate
+from planar_optical_flow_tpu.infer import fast_gate as fg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    b, ct, d = 2, 48, 64
+    window = 11
+    gate = SpatialAttentionGate(alpha=0.5, window_size=window)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(b, ct, d)), jnp.float32)
+    variables = gate.init(jax.random.PRNGKey(0), x0, x0, train=False)
+    # non-trivial BN stats so the fold actually matters
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    stats = variables["batch_stats"]["embed_bn"]
+    stats["mean"] = jnp.asarray(rng.normal(size=stats["mean"].shape) * 0.1,
+                                jnp.float32)
+    stats["var"] = jnp.asarray(
+        rng.uniform(0.5, 2.0, size=stats["var"].shape), jnp.float32)
+    params = fg.fold_gate_params(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        alpha=0.5, window_size=window,
+    )
+    return gate, variables, params, (b, ct, d), rng
+
+
+def _module_steps(gate, variables, xs):
+    template = xs[0]
+    outs = []
+    for x in xs[1:]:
+        template, sim = gate.apply(variables, x, template, train=False)
+        outs.append((template, sim))
+    return outs
+
+
+def _fast_steps(params, xs, use_pallas, interpret=True):
+    template, z, _ = fg.gate_bootstrap(params, xs[0])
+    outs = []
+    for x in xs[1:]:
+        template, z, sim = fg.gate_step(
+            params, x, template, z, use_pallas=use_pallas,
+            interpret=interpret,
+        )
+        outs.append((template, sim))
+    return outs, z
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_gate_parity_multistep(setup, use_pallas):
+    gate, variables, params, (b, ct, d), rng = setup
+    xs = [jnp.asarray(rng.normal(size=(b, ct, d)), jnp.float32)
+          for _ in range(4)]
+    ref = _module_steps(gate, variables, xs)
+    got, z_final = _fast_steps(params, xs, use_pallas)
+    for (t_ref, s_ref), (t_got, s_got) in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref),
+                                   rtol=2e-4, atol=2e-4)
+    # the carried z must equal the (folded) embedding of the carried template
+    z_direct = fg.embed(params, got[-1][0])
+    np.testing.assert_allclose(np.asarray(z_final), np.asarray(z_direct),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gate_bootstrap_matches_module(setup):
+    gate, variables, params, (b, ct, d), rng = setup
+    x = jnp.asarray(rng.normal(size=(b, ct, d)), jnp.float32)
+    _, sim_ref = gate.apply(variables, x, x, train=False)
+    template, z, sim = fg.gate_bootstrap(params, x)
+    np.testing.assert_allclose(np.asarray(sim), np.asarray(sim_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(template), np.asarray(x))
+
+
+def test_band_index_map_edges():
+    m = fg._band_index_map(10, 5)
+    # row 0: offsets clip(0 + [-2..2]) - 0 + 2 -> [2, 2, 2, 3, 4]
+    np.testing.assert_array_equal(m[0], [2, 2, 2, 3, 4])
+    np.testing.assert_array_equal(m[-1], [0, 1, 2, 2, 2])
+
+
+@pytest.mark.parametrize("gate_mix", ["xla", "pallas"])
+def test_serve_step_matches_stream_step(gate_mix):
+    """End-to-end: make_serve_step (banded gate, z-carry) must reproduce
+    make_stream_step (module gate) in f32 over several streaming steps."""
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import (
+        make_stream_step, make_serve_step,
+    )
+
+    num_pts = 64
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=16,
+                         padding_val=29.99, area_mode=True,
+                         gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    cur = jnp.zeros((1, num_pts))
+    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+
+    # NMS keep decisions flip on ~1e-6 prob ties of the untrained net and
+    # cascade into det_*; NMS parity has its own oracle tests — compare the
+    # continuous pipeline outputs here.
+    ref_step = make_stream_step(model, cutout_kwargs, num_pts=num_pts,
+                                donate_template=False, with_nms=False)
+    fast_step = make_serve_step(model, variables, cutout_kwargs,
+                                num_pts=num_pts, compute_dtype=None,
+                                with_nms=False, gate_mix=gate_mix,
+                                interpret=True)
+
+    rng = np.random.default_rng(1)
+    tmpl, carry = None, None
+    for i in range(3):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (2, num_pts)), jnp.float32)
+        tmpl, ref = ref_step(variables, tmpl, scan)
+        carry, got = fast_step(carry, scan)
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]),
+                rtol=2e-4, atol=2e-4, err_msg=f"step {i} key {k}",
+            )
+        np.testing.assert_allclose(np.asarray(carry["template"]),
+                                   np.asarray(tmpl), rtol=2e-4, atol=2e-4)

@@ -111,3 +111,60 @@ def test_jit_vs_eager_consistency(rng):
     for a, b in zip(eager, jitted):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_mesh_from_config_and_auto():
+    from planar_optical_flow_tpu.parallel import make_mesh_from_config
+
+    mesh = make_mesh_from_config({"data": 4, "model": 2})
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    mesh = make_mesh_from_config({"data": -1, "model": 2})
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    mesh = make_mesh_from_config(None)
+    assert dict(mesh.shape) == {"data": 8}
+
+
+def test_trainer_2d_mesh_loss_parity(tmp_path, rng):
+    """The same SpatialDrow training runs on a 1-D data mesh and a 2-D
+    (data, model) mesh (tensor-sharded embed + head convs) must produce the
+    same losses — the partition rule only changes placement, not math."""
+    from planar_optical_flow_tpu.parallel import (
+        make_mesh_from_config, state_shardings,
+    )
+    from planar_optical_flow_tpu.models import SpatialDrow
+    from planar_optical_flow_tpu.utils import RunLogger
+
+    num_pts, n_scans = 48, 2
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=8,
+                         padding_val=29.99)
+    batches = []
+    for _ in range(2):
+        batches.append({
+            "scans": rng.uniform(0.5, 20.0, (8, n_scans + 1, num_pts))
+            .astype(np.float32),
+            "target_cls": rng.integers(0, 2, (8, num_pts)).astype(np.int32),
+            "target_reg": rng.normal(size=(8, num_pts, 2)).astype(np.float32),
+        })
+
+    def run(mesh_cfg, sharding_fn):
+        model = SpatialDrow(window_size=5, pedestrian_only=True)
+        task = tasks.DetectionTask(cutout_kwargs=cutout_kwargs,
+                                   num_pts=num_pts)
+        tx = make_optimizer({"scheduler_kwargs": {}}, steps_per_epoch=2)
+        x = jnp.zeros((8, num_pts, n_scans + 1, 8))
+        state = create_train_state(model, (x,), tx,
+                                   init_kwargs={"train": False})
+        logger = RunLogger({"log_dir": str(tmp_path), "tag": "mesh"})
+        trainer = Trainer(logger, {"epoch": 1, "ckpt_interval": 0,
+                                   "eval_interval": 0}, task,
+                          mesh=make_mesh_from_config(mesh_cfg),
+                          state_sharding_fn=sharding_fn,
+                          install_signal_handlers=False, seed=0)
+        state, rc = trainer.train(state, batches)
+        assert rc == 0
+        return float(jnp.sum(jnp.abs(state.params["gate"]["embed"]["kernel"])))
+
+    ref = run({"data": 8}, None)
+    got = run({"data": 4, "model": 2}, state_shardings)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
