@@ -57,15 +57,13 @@ def main(argv=None):
 
     if args.ap and cfg["model"]["type"] in ("dr-spaam", "spatial_drow",
                                             "flow_drow", "drow"):
-        from planar_optical_flow_tpu.infer import StreamingRunner
-        from planar_optical_flow_tpu.eval import evaluate_detection_ap
+        from planar_optical_flow_tpu.eval import evaluate_detection_ap_batched
 
-        runner = StreamingRunner(
-            pipeline.model, pipeline.state.variables,
-            cfg["dataset"].get("cutout_kwargs", {}),
-        )
         ds = pipeline.val_set or pipeline.train_set
-        ap = evaluate_detection_ap(runner, ds)
+        ap = evaluate_detection_ap_batched(
+            pipeline.model, pipeline.state.variables,
+            cfg["dataset"].get("cutout_kwargs", {}), ds,
+        )
         print({k: round(v, 6) if isinstance(v, float) else v
                for k, v in ap.items()})
     return 0

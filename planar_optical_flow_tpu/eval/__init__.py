@@ -11,6 +11,8 @@ from planar_optical_flow_tpu.eval.detection_ap import (  # noqa: F401
 from planar_optical_flow_tpu.eval.evaluator import (  # noqa: F401
     evaluate_flow,
     evaluate_detection_ap,
+    evaluate_detection_ap_batched,
+    DetectionEvalFrames,
     evaluate_box_regression,
 )
 from planar_optical_flow_tpu.eval.baseline import mean_box_baseline  # noqa: F401

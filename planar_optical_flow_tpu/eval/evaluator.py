@@ -41,6 +41,106 @@ def evaluate_flow(task, state, loader, collect_outputs: bool = False):
     return (result, outs) if collect_outputs else result
 
 
+class DetectionEvalFrames:
+    """Formal input protocol for detection-AP evaluation: an ordered frame
+    sequence plus ground-truth person centers per frame.
+
+    Attributes:
+      scans: ``(T, P)`` float32 — consecutive frames (streaming order).
+      gt: length-T list of ``(N_i, 2)`` GT centers in the sensor frame.
+    """
+
+    def __init__(self, scans: np.ndarray, gt: list):
+        scans = np.asarray(scans, np.float32)
+        if scans.ndim != 2 or len(gt) != len(scans):
+            raise ValueError("scans must be (T, P) with len(gt) == T")
+        self.scans = scans
+        self.gt = list(gt)
+
+    def __len__(self):
+        return len(self.scans)
+
+    @classmethod
+    def from_dataset(cls, dataset):
+        """Adapter for DrowDetectionDataset-style objects (``scans_flat``,
+        ``cur_idx``, ``gt_centers``)."""
+        scans = dataset.scans_flat[dataset.cur_idx]
+        gt = [dataset.gt_centers(i) for i in range(len(dataset))]
+        return cls(scans, gt)
+
+
+def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
+                                  batch_streams: int = 16,
+                                  radius: float = 0.5,
+                                  conf_thresh: float = 0.0,
+                                  num_pts: int | None = None,
+                                  compute_dtype=None,
+                                  gate_mix: str = "pallas",
+                                  interpret: bool = False):
+    """Detection PR/AP over a frame sequence, ``batch_streams`` frames per
+    device step.
+
+    The sequence is split into ``batch_streams`` contiguous chunks; each
+    chunk streams through its own template state (chunk boundaries act as
+    stream resets), so every device step processes ``batch_streams``
+    independent scans through the batched serving step — vs. the
+    batch-1 host loop of :func:`evaluate_detection_ap` (reference eval
+    shape: ``eval_utils.py:221-274``, one frame at a time on host).
+
+    ``frames``: a :class:`DetectionEvalFrames` (or dataset accepted by its
+    ``from_dataset`` adapter).
+    """
+    import jax.numpy as jnp
+
+    from planar_optical_flow_tpu.infer.streaming import make_serve_step
+
+    if not isinstance(frames, DetectionEvalFrames):
+        frames = DetectionEvalFrames.from_dataset(frames)
+    t_total, p = frames.scans.shape
+    num_pts = num_pts or p
+    b = max(1, min(batch_streams, t_total))
+    t_chunk = (t_total + b - 1) // b
+    pad = b * t_chunk - t_total
+    scans = np.concatenate(
+        [frames.scans, np.full((pad, p), 29.99, np.float32)], axis=0
+    ).reshape(b, t_chunk, p)
+
+    step = make_serve_step(model, variables, cutout_kwargs, num_pts=num_pts,
+                           compute_dtype=compute_dtype, gate_mix=gate_mix,
+                           interpret=interpret)
+    outs = []
+    carry = None
+    for t in range(t_chunk):
+        carry, out = step(carry, jnp.asarray(scans[:, t]))
+        outs.append({k: out[k] for k in ("det_xys", "det_cls", "det_keep")})
+
+    per_frame = []
+    for t, out in enumerate(outs):  # host side: unpack fixed-shape results
+        keep = np.asarray(out["det_keep"])
+        xys = np.asarray(out["det_xys"])
+        conf = np.asarray(out["det_cls"])[..., 0]
+        for s in range(b):
+            i = s * t_chunk + t
+            if i >= t_total:
+                continue
+            k = keep[s]
+            sel = conf[s][k] >= conf_thresh
+            per_frame.append(
+                (i, xys[s][k][sel], conf[s][k][sel], frames.gt[i])
+            )
+    per_frame.sort(key=lambda f: f[0])
+    triples = [(x, c, g) for _, x, c, g in per_frame]
+
+    precision, recall, _ = detection_ap.precision_recall_curve(triples,
+                                                               radius)
+    return {
+        "ap": detection_ap.average_precision(precision, recall),
+        "peak_f1": detection_ap.peak_f1(precision, recall),
+        "eer": detection_ap.eer(precision, recall),
+        "num_frames": len(triples),
+    }
+
+
 def evaluate_detection_ap(runner, dataset, radius: float = 0.5,
                           conf_thresh: float = 0.0,
                           reset_every: int | None = None):

@@ -204,6 +204,115 @@ def banded_mix_update(attn, x, template, alpha: float, window_size: int,
     )
 
 
+def _gate_fused_kernel(zx_ref, zt_ref, x_ref, t_ref,
+                       out_ref, z_ref, sim_ref, *, hw, alpha, ct,
+                       compute_dtype):
+    """Whole post-embed gate for one (batch, D-chunk) block.
+
+    The banded attention is computed from the (ct, 128) embeddings with
+    cheap in-VMEM rolls, then EXPANDED to a dense (ct, ct) banded matrix via
+    11 diagonal selects so the template mix runs as ONE MXU matmul
+    (ct, ct) @ (ct, d_chunk) — the MXU absorbs the off-band zeros far
+    cheaper than the VPU can shift the template. new_z / sim_band are
+    written on the first D-chunk only.
+    """
+    j = pl.program_id(1)
+    zx = zx_ref[0].astype(jnp.float32)  # (ct, 128)
+    zt = zt_ref[0].astype(jnp.float32)
+    ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
+    et = jnp.where(zt > 0, zt, _LEAKY_SLOPE * zt)
+
+    # banded similarity: s[:, k] = sum(ex * et[r + o]) for o = k - hw
+    cols = []
+    for o in range(-hw, hw + 1):
+        sh = pltpu.roll(et, (-o) % ct, axis=0) if o else et
+        cols.append(jnp.sum(ex * sh, axis=-1, keepdims=True))
+    s = jnp.concatenate(cols, axis=1)  # (ct, 2hw+1)
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 0)
+    oi = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 1) - hw
+    valid = (ri + oi >= 0) & (ri + oi < ct)
+    masked = jnp.where(valid, s, -1e10)
+    m = jnp.max(masked, axis=1, keepdims=True)
+    e = jnp.exp(masked - m)
+    e = jnp.where(valid, e, 0.0)
+    attn = e / jnp.sum(e, axis=1, keepdims=True)  # (ct, 11)
+
+    # dense banded attention (ct, ct): place attn[:, k] on diagonal o = k-hw
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
+    diag = cc - rr  # in [-(ct-1), ct-1]
+    attn_d = jnp.zeros((ct, ct), jnp.float32)
+    for k, o in enumerate(range(-hw, hw + 1)):
+        attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
+
+    t = t_ref[0]
+    mixed = jax.lax.dot_general(
+        attn_d.astype(compute_dtype), t.astype(compute_dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    x = x_ref[0].astype(jnp.float32)
+    out_ref[0] = (alpha * x + (1.0 - alpha) * mixed).astype(out_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        # new_z = alpha * zx + (1 - alpha) * attn @ z_t
+        zmix = jax.lax.dot_general(
+            attn_d.astype(compute_dtype), zt_ref[0].astype(compute_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        z_ref[0] = (alpha * zx + (1.0 - alpha) * zmix).astype(z_ref.dtype)
+        # sim_band with the reference's edge-clamped duplicates: invalid
+        # offsets read the clamped column (0 or ct-1)
+        c0 = jnp.sum(ex * et[0:1], axis=-1, keepdims=True)   # (ct, 1)
+        c1 = jnp.sum(ex * et[ct - 1:ct], axis=-1, keepdims=True)
+        clamped = jnp.where(ri + oi < 0, c0, c1)
+        sim_ref[0] = jnp.where(valid, s, clamped).astype(sim_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "window_size",
+                                             "d_chunk", "interpret"))
+def gate_fused(zx, zt, x, template, alpha: float, window_size: int,
+               d_chunk: int = 896, interpret: bool = False):
+    """Fused post-embed gate: (new_template, new_z, sim_band).
+
+    zx, zt: (B, ct, 128) pre-activation embeddings; x, template: (B, ct, D).
+    One pallas program over a (B, D/d_chunk) grid.
+    """
+    b, ct, d = template.shape
+    hw = window_size // 2
+    if d % d_chunk:
+        d_chunk = d
+    grid = (b, d // d_chunk)
+    zdim = zx.shape[-1]
+    # MXU operand dtype follows the activations (f32 inputs keep f32 parity)
+    kernel = functools.partial(_gate_fused_kernel, hw=hw, alpha=alpha,
+                               ct=ct, compute_dtype=x.dtype)
+    zspec = pl.BlockSpec((1, ct, zdim), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, ct, d_chunk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    new_t, new_z, sim = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, ct, d), x.dtype),
+            jax.ShapeDtypeStruct((b, ct, zdim), zx.dtype),
+            jax.ShapeDtypeStruct((b, ct, 2 * hw + 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[zspec, zspec, dspec, dspec],
+        out_specs=(
+            dspec,
+            pl.BlockSpec((1, ct, zdim), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct, 2 * hw + 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(zx, zt, x, template)
+    return new_t, new_z, sim
+
+
 def embed(params: GateParams, x):
     """Pre-activation embedding zx = x @ W + b, f32 accumulation."""
     b, ct, d = x.shape
@@ -228,18 +337,16 @@ def gate_step(params: GateParams, x, template, z_t, *,
     """
     hw = params.window_size // 2
     zx = embed(params, x)
-    attn, sim_band = _band_attention(params, zx, z_t)
-
     if use_pallas:
-        new_template = banded_mix_update(
-            attn, x, template, params.alpha, params.window_size,
-            interpret=interpret,
-        )
-    else:
-        mixed = _banded_mix_xla(attn, template, hw)
-        new_template = params.alpha * x + (1.0 - params.alpha) * mixed
+        # fully fused: attention + mix + blend + z update + sim_band in one
+        # pallas program (the mix rides the MXU as a dense banded matmul)
+        return gate_fused(zx, z_t, x, template, params.alpha,
+                          params.window_size, interpret=interpret)
 
-    z_mixed = _banded_mix_xla(attn, z_t, hw)  # 128-d: cheap in XLA
+    attn, sim_band = _band_attention(params, zx, z_t)
+    mixed = _banded_mix_xla(attn, template, hw)
+    new_template = params.alpha * x + (1.0 - params.alpha) * mixed
+    z_mixed = _banded_mix_xla(attn, z_t, hw)
     new_z = params.alpha * zx + (1.0 - params.alpha) * z_mixed
     return new_template, new_z, sim_band
 

@@ -27,13 +27,23 @@ def epe_loss(pred, target, mask=None):
     return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def epe_aae(pred, target):
+def epe_aae(pred, target, wrap_angles: bool = False):
     """Per-sample EPE [m] and AAE [deg] over ``(B, P, 2)`` flow fields
-    (reference ``eval_utils.py:129-134``)."""
+    (reference ``eval_utils.py:129-134``).
+
+    ``wrap_angles=False`` is parity-faithful to the reference, which takes
+    ``|atan2 - atan2|`` WITHOUT wrapping to [-pi, pi] — a near-zero angular
+    error across the branch cut reports as ~360 deg
+    (``eval_utils.py:131``). ``wrap_angles=True`` fixes that by wrapping the
+    difference onto [-pi, pi] first.
+    """
     epe = jnp.mean(jnp.linalg.norm(pred - target, axis=-1), axis=-1)
     ang_p = jnp.arctan2(pred[..., 0], pred[..., 1])
     ang_t = jnp.arctan2(target[..., 0], target[..., 1])
-    aae = jnp.mean(jnp.abs(ang_p - ang_t), axis=-1) * (180.0 / jnp.pi)
+    diff = ang_p - ang_t
+    if wrap_angles:
+        diff = jnp.mod(diff + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    aae = jnp.mean(jnp.abs(diff), axis=-1) * (180.0 / jnp.pi)
     return epe, aae
 
 

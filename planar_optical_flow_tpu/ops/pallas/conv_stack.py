@@ -123,7 +123,8 @@ def _row_masks(rows, l):
     return pos == 0, pos == (l - 1)
 
 
-def _conv_rolled(x, wcat, b, l, compute_dtype, conv_mode):
+def _conv_rolled(x, wcat, b, l, compute_dtype, conv_mode,
+                 act_dtype=jnp.float32):
     """k=3 SAME conv on (rows, Cin) f32 activations, position-major rows of
     length-l cutouts; returns (rows, Cout) f32, post-leaky.
 
@@ -135,11 +136,13 @@ def _conv_rolled(x, wcat, b, l, compute_dtype, conv_mode):
     first, last = _row_masks(rows, l)
     dn = (((1,), (0,)), ((), ()))
     w = wcat.astype(compute_dtype)
+    if x.dtype != jnp.float32 and conv_mode != "notap":
+        x = x.astype(jnp.float32)  # Mosaic sublane rotate is 32-bit only
     if conv_mode == "notap":  # DEBUG ONLY: center tap x3 (wrong math)
         acc = 3.0 * jax.lax.dot_general(
             x.astype(compute_dtype), w[cin:2 * cin], dn,
             preferred_element_type=jnp.float32)
-        return _leaky(acc + b)
+        return _leaky(acc + b).astype(act_dtype)
     # left[r] = x[r-1]: roll down by 1; invalid on each cutout's first row
     left = jnp.where(first, 0.0, pltpu.roll(x, 1, axis=0))
     # right[r] = x[r+1]: roll up by 1 (= down by rows-1)
@@ -158,7 +161,7 @@ def _conv_rolled(x, wcat, b, l, compute_dtype, conv_mode):
         acc += jax.lax.dot_general(right.astype(compute_dtype),
                                    w[2 * cin:], dn,
                                    preferred_element_type=jnp.float32)
-    return _leaky(acc + b)
+    return _leaky(acc + b).astype(act_dtype)
 
 
 def _pool2(x):
@@ -178,14 +181,15 @@ def _mean_rows(x, k):
     return acc / k
 
 
-def _run_plan(x, ws, plan, l0, compute_dtype, conv_mode):
-    """Kernel body: x (rows, Cin) f32, static plan. Returns f32."""
+def _run_plan(x, ws, plan, l0, compute_dtype, conv_mode,
+              act_dtype=jnp.float32):
+    """Kernel body: x (rows, Cin), static plan."""
     l = l0
     wi = 0
     for op in plan:
         if op[0] == "conv":
             x = _conv_rolled(x, ws[wi][:], ws[wi + 1][:], l, compute_dtype,
-                             conv_mode)
+                             conv_mode, act_dtype)
             wi += 2
         elif op[0] == "pool":
             x = _pool2(x)
@@ -196,11 +200,12 @@ def _run_plan(x, ws, plan, l0, compute_dtype, conv_mode):
     return x
 
 
-def _backbone_kernel(x_ref, *refs, l0, compute_dtype, conv_mode):
+def _backbone_kernel(x_ref, *refs, l0, compute_dtype, conv_mode,
+                     act_dtype=jnp.float32):
     out_ref = refs[-1]
     ws = refs[:-1]
-    out = _run_plan(x_ref[:].astype(jnp.float32), ws, _BACKBONE_PLAN, l0,
-                    compute_dtype, conv_mode)
+    out = _run_plan(x_ref[:].astype(act_dtype), ws, _BACKBONE_PLAN, l0,
+                    compute_dtype, conv_mode, act_dtype)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
@@ -225,10 +230,11 @@ def _pad_rows(n, tile):
 
 
 @functools.partial(jax.jit, static_argnames=("l", "tile", "compute_dtype",
-                                             "conv_mode", "interpret"))
+                                             "conv_mode", "act_dtype",
+                                             "interpret"))
 def fused_backbone_v2(act1, weights, l: int = 56, tile: int = 64,
                       compute_dtype=jnp.bfloat16, conv_mode: str = "concat",
-                      interpret: bool = False):
+                      act_dtype=jnp.float32, interpret: bool = False):
     """Flat layer-1 activation (N*L, 64) -> (N, L//4, 256) features.
 
     ``act1`` from :func:`backbone_layer1`; ``weights`` the second element of
@@ -242,7 +248,7 @@ def fused_backbone_v2(act1, weights, l: int = 56, tile: int = 64,
     l4 = l // 4
     kernel = functools.partial(_backbone_kernel, l0=l,
                                compute_dtype=compute_dtype,
-                               conv_mode=conv_mode)
+                               conv_mode=conv_mode, act_dtype=act_dtype)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad * l4, 256), compute_dtype),
@@ -278,6 +284,199 @@ def fused_head_v2(feats_flat, conv_weights, head_weights,
     kernel = functools.partial(_head_kernel, l0=l4,
                                compute_dtype=compute_dtype,
                                conv_mode=conv_mode)
+    cls, reg = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, num_classes), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[pl.BlockSpec((tile * l4, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM) for w in weights],
+        out_specs=(
+            pl.BlockSpec((tile, num_classes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x, *weights)
+    return cls[:n], reg[:n]
+
+
+# ---------------------------------------------------------------------------
+# int8 kernels: weights per-channel int8, activations per-layer int8; ONE
+# requant chain per layer fused in the epilogue (leaky commutes with the
+# positive output scale, so dequant->leaky->requant folds to
+# clip(rint(leaky(acc * s_eff + b_eff)))). The k=3 taps shift the int32
+# ACCUMULATORS (Mosaic rotate is 32-bit only; int8 activations cannot be
+# rolled, and re-quantizing shifted copies would triple the epilogue).
+# ---------------------------------------------------------------------------
+
+
+def quantize_stack_int8(block_param_list, sample, l0, pool_after,
+                        in_scale=None, dequant_last=True):
+    """Folded f32 (w (3,Cin,Cout), b) list -> int8 kernel weights.
+
+    ``sample``: (N, L, Cin) f32 representative input of the stack (POST
+    layer-1 for the backbone). Returns (flat weight list [w0,w1,w2,seff,beff]
+    per layer, in_scale, out_scale-or-None).
+
+    Per layer i: q_{i+1} = clip(rint(leaky(acc_i32 * s_eff + b_eff))) with
+    s_eff = s_in * w_scale / s_out and b_eff = b / s_out; the last layer
+    dequantizes (s_eff = s_in * w_scale, b_eff = b) when ``dequant_last``.
+    """
+    from planar_optical_flow_tpu.ops import quantized_drow as qd
+
+    sample = np.asarray(sample, np.float32)
+    if in_scale is None:
+        in_scale = max(float(np.abs(sample).max()), 1e-6) / 127.0
+    _, act_scales = qd.calibrate(block_param_list, set(pool_after), sample,
+                                 in_scale=in_scale)
+    flat = []
+    s_in = in_scale
+    n = len(block_param_list)
+    for i, (w, b) in enumerate(block_param_list):
+        w = np.asarray(w, np.float32)
+        b = np.asarray(b, np.float32)
+        wq, ws = qd.quantize_weight(w)  # (3Cin, Cout) int8, (Cout,) f32
+        cin = w.shape[1]
+        last = i == n - 1
+        s_out = act_scales[i]
+        if last and dequant_last:
+            s_eff = s_in * ws
+            b_eff = b
+        else:
+            s_eff = s_in * ws / s_out
+            b_eff = b / s_out
+        flat += [
+            jnp.asarray(wq[:cin]), jnp.asarray(wq[cin:2 * cin]),
+            jnp.asarray(wq[2 * cin:]),
+            jnp.asarray(s_eff.astype(np.float32)),
+            jnp.asarray(b_eff.astype(np.float32)),
+        ]
+        s_in = s_out
+    out_scale = None if dequant_last else act_scales[-1]
+    return flat, float(in_scale), out_scale
+
+
+def quantize_int8(x, scale):
+    """f32 -> int8 at ``scale`` (symmetric)."""
+    return jnp.clip(jnp.rint(x / scale), -127, 127).astype(jnp.int8)
+
+
+def _conv_int8(xq, wm, w0, wp, s_eff, b_eff, l, requant):
+    """k=3 SAME conv on int8 (rows, Cin): 3 unshifted int8 matmuls, taps
+    realized by rolling the int32 accumulators, single fused epilogue."""
+    rows = xq.shape[0]
+    first, last = _row_masks(rows, l)
+    dn = (((1,), (0,)), ((), ()))
+    y0 = jax.lax.dot_general(xq, wm, dn, preferred_element_type=jnp.int32)
+    y1 = jax.lax.dot_general(xq, w0, dn, preferred_element_type=jnp.int32)
+    y2 = jax.lax.dot_general(xq, wp, dn, preferred_element_type=jnp.int32)
+    # out[r] = y0[r-1] + y1[r] + y2[r+1]
+    acc = y1 + jnp.where(first, 0, pltpu.roll(y0, 1, axis=0))
+    acc = acc + jnp.where(last, 0, pltpu.roll(y2, rows - 1, axis=0))
+    y = acc.astype(jnp.float32) * s_eff + b_eff
+    y = jnp.where(y > 0, y, _LEAKY_SLOPE * y)
+    if requant:
+        return jnp.clip(jnp.rint(y), -127, 127).astype(jnp.int8)
+    return y
+
+
+def _pool2_any(x):
+    rows, c = x.shape
+    y = x.reshape(rows // 2, 2 * c)
+    return jnp.maximum(y[:, :c], y[:, c:])
+
+
+def _run_plan_int8(xq, ws, plan, l0):
+    l = l0
+    wi = 0
+    n_conv = sum(1 for op in plan if op[0] == "conv")
+    ci = 0
+    x = xq
+    for op in plan:
+        if op[0] == "conv":
+            ci += 1
+            requant = ci < n_conv
+            x = _conv_int8(x, ws[wi][:], ws[wi + 1][:], ws[wi + 2][:],
+                           ws[wi + 3][:], ws[wi + 4][:], l, requant)
+            wi += 5
+        elif op[0] == "pool":
+            x = _pool2_any(x)
+            l //= 2
+        elif op[0] == "mean":
+            x = _mean_rows(x.astype(jnp.float32), l)
+            l = 1
+    return x
+
+
+def _backbone_int8_kernel(x_ref, *refs, l0):
+    out_ref = refs[-1]
+    out = _run_plan_int8(x_ref[:], refs[:-1], _BACKBONE_PLAN, l0)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _head_int8_kernel(x_ref, *refs, l0, compute_dtype):
+    cls_ref, reg_ref = refs[-2], refs[-1]
+    ws = refs[:-6]
+    wc, bc, wr, br = (r[:] for r in refs[-6:-2])
+    x = _run_plan_int8(x_ref[:], ws, _HEAD_PLAN, l0)
+    xc = x.astype(compute_dtype)
+    dn = (((1,), (0,)), ((), ()))
+    cls_ref[:] = (jax.lax.dot_general(
+        xc, wc.astype(compute_dtype), dn,
+        preferred_element_type=jnp.float32) + bc).astype(cls_ref.dtype)
+    reg_ref[:] = (jax.lax.dot_general(
+        xc, wr.astype(compute_dtype), dn,
+        preferred_element_type=jnp.float32) + br).astype(reg_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("l", "tile", "out_dtype",
+                                             "interpret"))
+def fused_backbone_int8(act1_q, weights, l: int = 56, tile: int = 64,
+                        out_dtype=jnp.bfloat16, interpret: bool = False):
+    """int8 layer-1 activation (N*L, 64) -> (N*L//4, 256) flat features
+    (dequantized to ``out_dtype`` by the last layer's epilogue)."""
+    nl, c1 = act1_q.shape
+    n = nl // l
+    n_pad = _pad_rows(n, tile)
+    x = jnp.pad(act1_q, ((0, (n_pad - n) * l), (0, 0)))
+    grid = (n_pad // tile,)
+    l4 = l // 4
+    kernel = functools.partial(_backbone_int8_kernel, l0=l)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad * l4, 256), out_dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((tile * l, c1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM) for w in weights],
+        out_specs=pl.BlockSpec((tile * l4, 256), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, *weights)
+    return out[:n * l4]
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "l4", "tile",
+                                             "compute_dtype", "interpret"))
+def fused_head_int8(feats_q, conv_weights, head_weights, num_classes: int = 1,
+                    l4: int = 14, tile: int = 64,
+                    compute_dtype=jnp.bfloat16, interpret: bool = False):
+    """int8 flat (N*L4, 256) features -> f32 (cls, reg)."""
+    nl, c = feats_q.shape
+    n = nl // l4
+    n_pad = _pad_rows(n, tile)
+    x = jnp.pad(feats_q, ((0, (n_pad - n) * l4), (0, 0)))
+    grid = (n_pad // tile,)
+    weights = list(conv_weights) + list(head_weights)
+    kernel = functools.partial(_head_int8_kernel, l0=l4,
+                               compute_dtype=compute_dtype)
     cls, reg = pl.pallas_call(
         kernel,
         out_shape=(

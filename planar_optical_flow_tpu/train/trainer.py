@@ -27,6 +27,7 @@ import signal
 import time
 
 import jax
+import jax.numpy as jnp
 
 from planar_optical_flow_tpu.train import checkpoint as ckpt_lib
 from planar_optical_flow_tpu.parallel.mesh import (
@@ -55,6 +56,8 @@ class Trainer:
         # profile steps [start, stop) into {run_dir}/profile with
         # jax.profiler (SURVEY §5 tracing row); empty tuple disables
         self._profile_steps = tuple(cfg.get("profile_steps", ()))
+        # per-step global grad/param norm scalars (wandb.watch analogue)
+        self._log_norms = bool(cfg.get("log_norms", True))
         self._rng = jax.random.PRNGKey(seed)
 
         self._sigterm = False
@@ -91,6 +94,15 @@ class Trainer:
             (loss, (tb, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
+            if self._log_norms:
+                # the reference's wandb.watch(model) analogue
+                # (train_box_regression.py:95): global grad/param l2 norms
+                gsq = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                          for g in jax.tree_util.tree_leaves(grads))
+                psq = sum(jnp.sum(jnp.square(p.astype(jnp.float32)))
+                          for p in jax.tree_util.tree_leaves(state.params))
+                tb = dict(tb, grad_norm=jnp.sqrt(gsq),
+                          param_norm=jnp.sqrt(psq))
             new_state = state.apply_gradients(grads, new_stats)
             return new_state, tb
 

@@ -21,6 +21,8 @@ import logging
 import os
 import pickle
 import time
+
+import numpy as np
 from shutil import copyfile
 
 
@@ -133,6 +135,31 @@ class RunLogger:
         fig.savefig(os.path.join(self.image_dir, fname))
         if close:
             plt.close(fig)
+
+    # ------------------------------------------------------------- images
+
+    def add_fig(self, key: str, fig, step: int, close_fig: bool = False):
+        """Render a matplotlib figure into the TB event stream (reference
+        ``Logger.add_fig``, ``src/pipeline/logger.py:107-117``). Also saved
+        as a PNG next to the run (TB is optional here)."""
+        import matplotlib.pyplot as plt
+
+        fig.canvas.draw()
+        im = np.asarray(fig.canvas.buffer_rgba())[..., :3]  # (H, W, 3)
+        im = im.transpose(2, 0, 1).astype(np.float32) / 255.0  # (3, H, W)
+        self.add_im(key, im, step)
+        fig.savefig(os.path.join(
+            self.image_dir, f"{key.replace('/', '_')}_{step}.png"
+        ))
+        if close_fig:
+            plt.close(fig)
+
+    def add_im(self, key: str, im, step: int):
+        """Add a (3, H, W) float image to TensorBoard (reference
+        ``Logger.add_im``, ``src/pipeline/logger.py:119-123``); no-op
+        without a TB writer."""
+        if self._tb is not None:
+            self._tb.add_image(key, np.asarray(im), int(step))
 
     def close(self):
         self.flush()

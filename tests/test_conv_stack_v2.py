@@ -63,3 +63,64 @@ def test_backbone_v2_pad_and_bf16(rng):
     assert got.shape == (n, l // 4, 256)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
                                rtol=0.1, atol=0.1)
+
+
+# ---------------------------------------------------------------- int8
+
+
+def _quantize_inputs(x, scale):
+    return np.clip(np.rint(np.asarray(x) / scale), -127, 127).astype(np.int8)
+
+
+def test_backbone_int8_close_to_f32(rng):
+    from planar_optical_flow_tpu.ops.pallas.fused_drow import _block_params
+
+    bb = DrowBackbone()
+    n, l = 64, 24
+    x = jnp.asarray(rng.normal(size=(n, l, 1)).astype(np.float32))
+    v = bb.init(KEY, x, train=False)
+    ref = np.asarray(bb.apply(v, x, train=False)).reshape(n * (l // 4), 256)
+
+    layer1, _ = cs.backbone_stack_weights(v)
+    act1 = np.asarray(
+        cs.backbone_layer1(x[..., 0], layer1, compute_dtype=jnp.float32)
+    )
+    blocks = (_block_params(v, "block1", 3) + _block_params(v, "block2", 3))
+    wq, in_scale, _ = cs.quantize_stack_int8(
+        blocks[1:], act1.reshape(n, l, 64), l, pool_after={1, 4},
+    )
+    act1_q = jnp.asarray(_quantize_inputs(act1, in_scale))
+    got = np.asarray(cs.fused_backbone_int8(act1_q, wq, l=l, tile=16,
+                                            out_dtype=jnp.float32,
+                                            interpret=True))
+    assert got.shape == ref.shape
+    # int8 quantization noise: compare at coarse tolerance + correlation
+    denom = np.abs(ref).max()
+    rel_err = np.abs(got - ref).max() / denom
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert rel_err < 0.15, rel_err
+    assert corr > 0.99, corr
+
+
+def test_head_int8_close_to_f32(rng):
+    from planar_optical_flow_tpu.ops.pallas.fused_drow import _block_params
+
+    hd = DrowHead(num_classes=1)
+    n, l4 = 48, 6
+    x = jnp.asarray(rng.normal(size=(n, l4, 256)).astype(np.float32))
+    v = hd.init(KEY, x, train=False)
+    cls_ref, reg_ref = (np.asarray(a) for a in hd.apply(v, x, train=False))
+
+    blocks = (_block_params(v, "block3", 3) + _block_params(v, "block4", 2))
+    wq, in_scale, _ = cs.quantize_stack_int8(
+        blocks, np.asarray(x), l4, pool_after={2},
+    )
+    conv_w, head_w = cs.head_stack_weights(v)
+    xq = jnp.asarray(_quantize_inputs(x, in_scale)).reshape(n * l4, 256)
+    cls, reg = cs.fused_head_int8(xq, wq, head_w, num_classes=1, l4=l4,
+                                  tile=16, compute_dtype=jnp.float32,
+                                  interpret=True)
+    for got, ref in ((np.asarray(cls), cls_ref), (np.asarray(reg), reg_ref)):
+        corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+        assert corr > 0.98, corr
+        assert np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6) < 0.25

@@ -164,3 +164,41 @@ def test_box_regressor_from_checkpoint_roundtrip(tmp_path, rng):
     assert ok.all()
     # centers pass through; cz/rot offsets applied
     np.testing.assert_allclose(boxes[:, :2], centers[:, :2], atol=1e-5)
+
+
+def test_evaluate_detection_ap_batched_matches_runner(tmp_path, rng):
+    """Batched AP (B contiguous chunk streams per device step) must agree
+    with the batch-1 StreamingRunner loop when chunking preserves the
+    same template recursion (batch_streams=1) and stay consistent for B>1."""
+    from planar_optical_flow_tpu.data import (
+        write_synthetic_drow_split, DrowDetectionDataset,
+    )
+    from planar_optical_flow_tpu.eval import (
+        evaluate_detection_ap_batched, DetectionEvalFrames,
+    )
+
+    d = str(tmp_path)
+    write_synthetic_drow_split(d, "train", num_sequences=1, num_frames=14)
+    ds = DrowDetectionDataset(d, "train", num_scans=2, pedestrian_only=True)
+
+    model = SpatialDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, 450, 1, 16))
+    variables = model.init(KEY, x, train=False)
+
+    runner = StreamingRunner(model, variables, CUTOUT_KW)
+    ref = evaluate_detection_ap(runner, ds, conf_thresh=0.5)
+
+    frames = DetectionEvalFrames.from_dataset(ds)
+    got1 = evaluate_detection_ap_batched(
+        model, variables, CUTOUT_KW, frames, batch_streams=1,
+        conf_thresh=0.5, gate_mix="xla",
+    )
+    assert got1["num_frames"] == ref["num_frames"] == len(ds)
+    np.testing.assert_allclose(got1["ap"], ref["ap"], atol=1e-6)
+
+    got4 = evaluate_detection_ap_batched(
+        model, variables, CUTOUT_KW, ds, batch_streams=4,
+        conf_thresh=0.5, gate_mix="xla",
+    )
+    assert got4["num_frames"] == len(ds)
+    assert 0.0 <= got4["ap"] <= 1.0

@@ -130,3 +130,18 @@ def test_binary_focal_alpha(rng):
     got = float(ops.binary_focal_loss(p, t, gamma=0.0, alpha=0.25))
     want = -np.mean(0.25 * t * np.log(p) + 0.75 * (1 - t) * np.log(1 - p))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_aae_wrapped_variant():
+    """Legacy AAE reproduces the reference's unwrapped-angle behavior
+    (eval_utils.py:131: ~360 deg across the branch cut); the wrapped
+    variant reports the true small error."""
+    from planar_optical_flow_tpu.ops.losses import epe_aae
+
+    # two nearly identical flows straddling the atan2 branch cut
+    pred = jnp.asarray([[[1e-3, -1.0]]])    # angle ~ pi (just below)
+    target = jnp.asarray([[[-1e-3, -1.0]]])  # angle ~ -pi (just above)
+    _, aae_legacy = epe_aae(pred, target)
+    _, aae_wrapped = epe_aae(pred, target, wrap_angles=True)
+    assert float(aae_legacy[0]) > 350.0   # parity-faithful bug
+    assert float(aae_wrapped[0]) < 1.0    # fixed variant
