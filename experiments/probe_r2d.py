@@ -36,8 +36,6 @@ xsc = jnp.asarray(rng.normal(size=(N, L)).astype(np.float32))
 bb = DrowBackbone()
 vb = bb.init(KEY, xsc[..., None], train=False)
 layer1, _ = cs.backbone_stack_weights(vb)
-act1_small = np.asarray(cs.backbone_layer1(
-    xsc[:2048], layer1, compute_dtype=jnp.float32)).reshape(2048 // L * L // L * L, -1)
 act1s = np.asarray(cs.backbone_layer1(xsc[:4096], layer1,
                                       compute_dtype=jnp.float32))
 blocks = (_block_params(vb, "block1", 3) + _block_params(vb, "block2", 3))

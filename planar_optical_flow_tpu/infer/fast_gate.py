@@ -207,7 +207,8 @@ def banded_mix_update(attn, x, template, alpha: float, window_size: int,
 def _gate_fused_kernel(zx_ref, zt_ref, x_ref, t_ref,
                        out_ref, z_ref, sim_ref, *, hw, alpha, ct,
                        compute_dtype):
-    """Whole post-embed gate for one (batch, D-chunk) block.
+    """Whole post-embed gate for one (stream, D-chunk) block (2-D refs:
+    (ct, d_chunk) template/x slices of the flat (N, D) arrays).
 
     The banded attention is computed from the (ct, 128) embeddings with
     cheap in-VMEM rolls, then EXPANDED to a dense (ct, ct) banded matrix via
@@ -217,8 +218,8 @@ def _gate_fused_kernel(zx_ref, zt_ref, x_ref, t_ref,
     written on the first D-chunk only.
     """
     j = pl.program_id(1)
-    zx = zx_ref[0].astype(jnp.float32)  # (ct, 128)
-    zt = zt_ref[0].astype(jnp.float32)
+    zx = zx_ref[:].astype(jnp.float32)  # (ct, 128)
+    zt = zt_ref[:].astype(jnp.float32)
     ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
     et = jnp.where(zt > 0, zt, _LEAKY_SLOPE * zt)
 
@@ -246,66 +247,68 @@ def _gate_fused_kernel(zx_ref, zt_ref, x_ref, t_ref,
     for k, o in enumerate(range(-hw, hw + 1)):
         attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
 
-    t = t_ref[0]
+    t = t_ref[:]
     mixed = jax.lax.dot_general(
         attn_d.astype(compute_dtype), t.astype(compute_dtype),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    x = x_ref[0].astype(jnp.float32)
-    out_ref[0] = (alpha * x + (1.0 - alpha) * mixed).astype(out_ref.dtype)
+    x = x_ref[:].astype(jnp.float32)
+    out_ref[:] = (alpha * x + (1.0 - alpha) * mixed).astype(out_ref.dtype)
 
     @pl.when(j == 0)
     def _():
         # new_z = alpha * zx + (1 - alpha) * attn @ z_t
         zmix = jax.lax.dot_general(
-            attn_d.astype(compute_dtype), zt_ref[0].astype(compute_dtype),
+            attn_d.astype(compute_dtype), zt_ref[:].astype(compute_dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        z_ref[0] = (alpha * zx + (1.0 - alpha) * zmix).astype(z_ref.dtype)
+        z_ref[:] = (alpha * zx + (1.0 - alpha) * zmix).astype(z_ref.dtype)
         # sim_band with the reference's edge-clamped duplicates: invalid
         # offsets read the clamped column (0 or ct-1)
         c0 = jnp.sum(ex * et[0:1], axis=-1, keepdims=True)   # (ct, 1)
         c1 = jnp.sum(ex * et[ct - 1:ct], axis=-1, keepdims=True)
         clamped = jnp.where(ri + oi < 0, c0, c1)
-        sim_ref[0] = jnp.where(valid, s, clamped).astype(sim_ref.dtype)
+        sim_ref[:] = jnp.where(valid, s, clamped).astype(sim_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("alpha", "window_size",
+@functools.partial(jax.jit, static_argnames=("ct", "alpha", "window_size",
                                              "d_chunk", "interpret"))
-def gate_fused(zx, zt, x, template, alpha: float, window_size: int,
-               d_chunk: int = 896, interpret: bool = False):
-    """Fused post-embed gate: (new_template, new_z, sim_band).
+def gate_fused_flat(zx, zt, x, template, ct: int, alpha: float,
+                    window_size: int, d_chunk: int = 896,
+                    interpret: bool = False):
+    """Fused post-embed gate on FLAT arrays: (new_template, new_z, sim_band).
 
-    zx, zt: (B, ct, 128) pre-activation embeddings; x, template: (B, ct, D).
-    One pallas program over a (B, D/d_chunk) grid.
+    zx, zt: (N, 128) pre-activation embeddings; x, template: (N, D) with
+    N = n_streams * ct (stream-major). Blocks are ct-row slices — no
+    padded (B, ct, D) reshape anywhere. One pallas program over a
+    (N/ct, D/d_chunk) grid.
     """
-    b, ct, d = template.shape
+    n, d = template.shape
     hw = window_size // 2
     if d % d_chunk:
         d_chunk = d
-    grid = (b, d // d_chunk)
+    grid = (n // ct, d // d_chunk)
     zdim = zx.shape[-1]
-    # MXU operand dtype follows the activations (f32 inputs keep f32 parity)
     kernel = functools.partial(_gate_fused_kernel, hw=hw, alpha=alpha,
                                ct=ct, compute_dtype=x.dtype)
-    zspec = pl.BlockSpec((1, ct, zdim), lambda i, j: (i, 0, 0),
+    zspec = pl.BlockSpec((ct, zdim), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((1, ct, d_chunk), lambda i, j: (i, 0, j),
+    dspec = pl.BlockSpec((ct, d_chunk), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
     new_t, new_z, sim = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, ct, d), x.dtype),
-            jax.ShapeDtypeStruct((b, ct, zdim), zx.dtype),
-            jax.ShapeDtypeStruct((b, ct, 2 * hw + 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, d), x.dtype),
+            jax.ShapeDtypeStruct((n, zdim), zx.dtype),
+            jax.ShapeDtypeStruct((n, 2 * hw + 1), jnp.float32),
         ),
         grid=grid,
         in_specs=[zspec, zspec, dspec, dspec],
         out_specs=(
             dspec,
-            pl.BlockSpec((1, ct, zdim), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((ct, zdim), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ct, 2 * hw + 1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((ct, 2 * hw + 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
@@ -313,15 +316,33 @@ def gate_fused(zx, zt, x, template, alpha: float, window_size: int,
     return new_t, new_z, sim
 
 
+def gate_fused(zx, zt, x, template, alpha: float, window_size: int,
+               d_chunk: int = 896, interpret: bool = False):
+    """(B, ct, D) convenience wrapper over :func:`gate_fused_flat`."""
+    b, ct, d = template.shape
+    zdim = zx.shape[-1]
+    new_t, new_z, sim = gate_fused_flat(
+        zx.reshape(b * ct, zdim), zt.reshape(b * ct, zdim),
+        x.reshape(b * ct, d), template.reshape(b * ct, d),
+        ct=ct, alpha=alpha, window_size=window_size, d_chunk=d_chunk,
+        interpret=interpret,
+    )
+    return (new_t.reshape(b, ct, d), new_z.reshape(b, ct, zdim),
+            sim.reshape(b, ct, -1))
+
+
 def embed(params: GateParams, x):
-    """Pre-activation embedding zx = x @ W + b, f32 accumulation."""
-    b, ct, d = x.shape
+    """Pre-activation embedding zx = x @ W + b, f32 accumulation.
+
+    Accepts (B, ct, D) or flat (N, D)."""
+    shape = x.shape
+    d = shape[-1]
     z = jax.lax.dot_general(
-        x.reshape(b * ct, d), params.w,
+        x.reshape(-1, d), params.w,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + params.b
-    return z.reshape(b, ct, -1).astype(x.dtype)
+    return z.reshape(*shape[:-1], -1).astype(x.dtype)
 
 
 def gate_step(params: GateParams, x, template, z_t, *,

@@ -372,6 +372,177 @@ def make_serve_step(model, variables, cutout_kwargs, num_pts: int = 450,
     return dispatch
 
 
+def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
+                       num_pts: int = 450, nms_min_dist: float = 0.5,
+                       with_nms: bool = True, precision: str = "bf16",
+                       conv_mode: str = "3mm", tile: int = 64,
+                       interpret: bool = False):
+    """Flat-layout fused serving step (fastest path, see BASELINE.md).
+
+    Pipeline, ONE program per scan, every big tensor flat ``(N*, C)`` so no
+    padded ``(B, 450, ...)`` relayout is ever materialized:
+
+    raw scans -> cutout -> backbone layer-1 (XLA, fused with the cutout
+    producer) -> fused backbone tail (pallas, VMEM-resident) -> embed matmul
+    -> fused gate kernel (banded attention + dense-banded MXU mix + z carry
+    + sim_band) -> fused head (pallas) -> sigmoid/flow/NMS.
+
+    ``precision``: "bf16", or "int8" for int8 conv stacks with the requant
+    fused in the kernel epilogues (requires ``calib_scans`` (B0, num_pts)
+    f32 for activation-scale calibration).
+
+    Returns ``step(carry, scan) -> (carry', outputs)``; carry is
+    ``{"template": (N, D) bf16, "z": (N, 128)}``.
+    """
+    from planar_optical_flow_tpu.infer import fast_gate as fg
+    from planar_optical_flow_tpu.ops.pallas import conv_stack as cs
+    from planar_optical_flow_tpu.ops.pallas.fused_drow import _block_params
+
+    phi = get_laser_phi(num_pts=num_pts)
+    phi_j = jnp.asarray(phi, dtype=jnp.float32)
+    is_flow = isinstance(model, FlowDrow)
+    det_vars = (
+        {"params": variables["params"]["dr_spaam"],
+         "batch_stats": variables["batch_stats"]["dr_spaam"]}
+        if is_flow else variables
+    )
+    bb_vars = {"params": det_vars["params"]["backbone"],
+               "batch_stats": det_vars["batch_stats"]["backbone"]}
+    hd_vars = {"params": det_vars["params"]["head"],
+               "batch_stats": det_vars["batch_stats"]["head"]}
+    layer1_w, bb_tail_w = cs.backbone_stack_weights(bb_vars)
+    hd_conv_w, hd_head_w = cs.head_stack_weights(hd_vars)
+    num_classes = det_vars["params"]["head"]["cls"]["kernel"].shape[-1]
+    gate_params = fg.fold_gate_params(
+        {"params": det_vars["params"]["gate"],
+         "batch_stats": det_vars["batch_stats"]["gate"]},
+        alpha=model.alpha, window_size=model.window_size,
+        dtype=jnp.bfloat16,
+    )
+    ct_len = cutout_kwargs.get("num_cutout_pts", 48)
+    l4 = ct_len // 4
+    d_feat = l4 * 256
+
+    use_int8 = precision == "int8"
+    if use_int8:
+        if calib_scans is None:
+            raise ValueError("int8 precision requires calib_scans")
+        calib = jnp.asarray(calib_scans, jnp.float32)
+        cut_c = _encode_single(calib, phi, cutout_kwargs)  # (B0, P, C)
+        n0 = cut_c.shape[0] * cut_c.shape[1]
+        act1_c = np.asarray(cs.backbone_layer1(
+            cut_c.reshape(n0, ct_len), layer1_w, compute_dtype=jnp.float32,
+        ))
+        bb_blocks = (_block_params(bb_vars, "block1", 3)
+                     + _block_params(bb_vars, "block2", 3))
+        bb_q, bb_in_scale, _ = cs.quantize_stack_int8(
+            bb_blocks[1:], act1_c.reshape(n0, ct_len, 64)[:4096], ct_len,
+            pool_after={1, 4},
+        )
+        # head calibration on a realistic (post-gate) template: run two f32
+        # reference steps
+        ref_step = make_stream_step(model, cutout_kwargs, num_pts,
+                                    with_nms=False, donate_template=False)
+        tmpl, _ = ref_step(variables, None, calib)
+        tmpl, _ = ref_step(variables, tmpl, calib)
+        tmpl_np = np.asarray(tmpl, np.float32).reshape(-1, l4, 256)
+        hd_blocks = (_block_params(hd_vars, "block3", 3)
+                     + _block_params(hd_vars, "block4", 2))
+        hd_q, hd_in_scale, _ = cs.quantize_stack_int8(
+            hd_blocks, tmpl_np[:4096], l4, pool_after={2},
+        )
+
+    gate_vars = cast_variables(variables, jnp.bfloat16)
+
+    def flow_apply(sim, cur_scan):
+        return model.apply(
+            gate_vars, sim, cur_scan,
+            method=lambda m, s, c: m._flow_head(s, c, train=False),
+        )
+
+    def backbone(scan):
+        b = scan.shape[0]
+        cutouts = _encode_single(scan, phi, cutout_kwargs)  # (B, P, C) f32
+        flat = cutouts.reshape(b * num_pts, ct_len)
+        act1 = cs.backbone_layer1(flat, layer1_w)  # (N*L, 64) bf16
+        if use_int8:
+            act1_q = cs.quantize_int8(act1.astype(jnp.float32), bb_in_scale)
+            feats = cs.fused_backbone_int8(
+                act1_q, bb_q, l=ct_len, tile=tile, out_dtype=jnp.bfloat16,
+                interpret=interpret,
+            )  # (N*L4, 256) bf16
+        else:
+            feats = cs.fused_backbone_v2(
+                act1, bb_tail_w, l=ct_len, tile=tile,
+                compute_dtype=jnp.bfloat16, conv_mode=conv_mode,
+                interpret=interpret,
+            ).reshape(b * num_pts * l4, 256)
+        # flat row-major merge: (N*L4, 256) -> (N, L4*256); no 450-padding
+        return feats.reshape(b * num_pts, d_feat)
+
+    def head(template_flat):
+        flat = template_flat.reshape(-1, 256)  # (N*L4, 256) row-major
+        if use_int8:
+            tq = cs.quantize_int8(flat.astype(jnp.float32), hd_in_scale)
+            return cs.fused_head_int8(
+                tq, hd_q, hd_head_w, num_classes=num_classes, l4=l4,
+                tile=tile, interpret=interpret,
+            )
+        return cs.fused_head_v2(
+            flat.astype(jnp.bfloat16), hd_conv_w, hd_head_w,
+            num_classes=num_classes, l4=l4, tile=tile, conv_mode=conv_mode,
+            interpret=interpret,
+        )
+
+    def step(carry, scan):
+        b = scan.shape[0]
+        feats = backbone(scan)                       # (N, D) bf16
+        zx = fg.embed(gate_params, feats)            # (N, 128)
+        if carry is None:
+            template, z = feats, zx
+            _, _, sim = fg.gate_fused_flat(
+                zx, zx, feats, feats, ct=num_pts, alpha=gate_params.alpha,
+                window_size=gate_params.window_size, interpret=interpret,
+            )
+        else:
+            template, z, sim = fg.gate_fused_flat(
+                zx, carry["z"], feats, carry["template"], ct=num_pts,
+                alpha=gate_params.alpha,
+                window_size=gate_params.window_size, interpret=interpret,
+            )
+        cls, reg = head(template)
+        pred_cls = cls.reshape(b, num_pts, -1).astype(jnp.float32)
+        pred_reg = reg.reshape(b, num_pts, 2).astype(jnp.float32)
+        probs = jax.nn.sigmoid(pred_cls)
+        out = {"pred_cls": probs, "pred_reg": pred_reg}
+        if is_flow:
+            sim_b = sim.reshape(b, num_pts, -1).astype(jnp.bfloat16)
+            flow = flow_apply(sim_b, scan.astype(jnp.bfloat16))
+            out["pred_flow"] = canonical_to_global_flow(
+                flow.astype(jnp.float32), phi_j
+            )
+        if with_nms:
+            conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
+            det_xys, det_cls, keep, inst = jax.vmap(
+                lambda s, c, r: nms_predicted_center(
+                    s, phi_j, c, r, min_dist=nms_min_dist
+                )
+            )(scan, conf, pred_reg)
+            out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
+                       instance_mask=inst)
+        return {"template": template, "z": z}, out
+
+    step_boot = jax.jit(lambda s: step(None, s))
+    step_carry = jax.jit(step, donate_argnums=(0,))
+
+    def dispatch(carry, scan):
+        if carry is None:
+            return step_boot(scan)
+        return step_carry(carry, scan)
+
+    return dispatch
+
+
 def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
                      nms_min_dist: float = 0.5, with_nms: bool = True,
                      donate_template: bool = True, compute_dtype=None):
@@ -444,25 +615,33 @@ def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
 
 def make_sequence_processor(model, cutout_kwargs, num_pts: int = 450,
                             nms_min_dist: float = 0.5, with_nms: bool = True,
-                            compute_dtype=None):
+                            compute_dtype=None, output_fields=None):
     """Offline batch processing: run a whole scan sequence through the
     streaming cell inside ONE jitted program (``lax.scan`` over time).
 
     ``process(variables, scans (T, B, P), template=None) ->
     (final_template, outputs stacked over T)``.
 
-    Note: measured on v5e this is ~2x SLOWER per scan than the per-step API
-    (the async dispatch queue already overlaps host and device work, while
-    ``lax.scan`` serializes iterations and materializes stacked outputs) —
-    provided for API completeness / single-program export, not throughput.
+    ``output_fields``: iterable of output keys to stack over time (e.g.
+    ``("det_xys", "det_keep")``); ``None`` stacks everything. Restricting
+    the fields is the single biggest lever on throughput — the stacked
+    outputs dominate the scan body's HBM traffic, and the carry is donated
+    in-place by ``lax.scan``.
     """
     inner = make_stream_step(model, cutout_kwargs, num_pts, nms_min_dist,
                              with_nms, donate_template=False,
                              compute_dtype=compute_dtype)
+    fields = tuple(output_fields) if output_fields is not None else None
+
+    def select(out):
+        if fields is None:
+            return out
+        return {k: out[k] for k in fields}
 
     def process(variables, scans, template=None):
         if template is None:
             template, first = inner(variables, None, scans[0])
+            first = select(first)
             rest = scans[1:]
         else:
             first = None
@@ -470,7 +649,7 @@ def make_sequence_processor(model, cutout_kwargs, num_pts: int = 450,
 
         def body(carry, scan):
             new_carry, out = inner(variables, carry, scan)
-            return new_carry, out
+            return new_carry, select(out)
 
         template, outs = jax.lax.scan(body, template, rest)
         if first is not None:

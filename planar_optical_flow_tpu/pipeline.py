@@ -76,6 +76,7 @@ def normalize_config(cfg: dict) -> dict:
                 "ckpt_interval": cfg.get("ckpt_interval", 5),
                 "eval_interval": cfg.get("eval_interval", 5),
                 "epoch": cfg.get("epochs", 1),
+                "compute_dtype": cfg.get("compute_dtype"),
             },
             "mesh": cfg.get("mesh"),
             "Optim": {

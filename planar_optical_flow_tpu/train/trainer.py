@@ -58,6 +58,13 @@ class Trainer:
         self._profile_steps = tuple(cfg.get("profile_steps", ()))
         # per-step global grad/param norm scalars (wandb.watch analogue)
         self._log_norms = bool(cfg.get("log_norms", True))
+        # mixed-precision training: forward/backward in this dtype with f32
+        # master weights + f32 optimizer state (grads come back f32 through
+        # the cast); batch stats stay f32. None/"float32" = full precision
+        cd = cfg.get("compute_dtype")
+        self._compute_dtype = (
+            jnp.dtype(cd) if cd not in (None, "float32", "f32") else None
+        )
         self._rng = jax.random.PRNGKey(seed)
 
         self._sigterm = False
@@ -81,14 +88,33 @@ class Trainer:
     def _build_steps(self, state):
         task = self._task
 
+        cdt = self._compute_dtype
+
+        def cast_tree(tree, dtype):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                          jnp.floating)
+                else a,
+                tree,
+            )
+
         def train_step(state, batch, rng):
             def loss_fn(params):
-                variables = {"params": params}
+                p = cast_tree(params, cdt) if cdt is not None else params
+                variables = {"params": p}
                 if state.batch_stats is not None:
-                    variables["batch_stats"] = state.batch_stats
+                    variables["batch_stats"] = (
+                        cast_tree(state.batch_stats, cdt)
+                        if cdt is not None else state.batch_stats
+                    )
+                b = cast_tree(batch, cdt) if cdt is not None else batch
                 loss, tb, _, new_stats = task.loss(
-                    state.apply_fn, variables, batch, True, rng
+                    state.apply_fn, variables, b, True, rng
                 )
+                if cdt is not None:
+                    loss = loss.astype(jnp.float32)
+                    new_stats = cast_tree(new_stats, jnp.float32)
                 return loss, (tb, new_stats)
 
             (loss, (tb, new_stats)), grads = jax.value_and_grad(

@@ -136,3 +136,77 @@ def test_serve_step_matches_stream_step(gate_mix):
             )
         np.testing.assert_allclose(np.asarray(carry["template"]),
                                    np.asarray(tmpl), rtol=2e-4, atol=2e-4)
+
+
+def test_serve_step_v3_matches_stream_step():
+    """Flat fused pipeline (pallas conv kernels + fused gate) vs the module
+    path, bf16 compute at loose tolerance over multiple steps."""
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import (
+        make_stream_step, make_serve_step_v3,
+    )
+
+    num_pts = 64
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=16,
+                         padding_val=29.99, area_mode=True,
+                         gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    cur = jnp.zeros((1, num_pts))
+    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+
+    ref_step = make_stream_step(model, cutout_kwargs, num_pts=num_pts,
+                                donate_template=False, with_nms=False)
+    v3 = make_serve_step_v3(model, variables, cutout_kwargs,
+                            num_pts=num_pts, with_nms=False, tile=16,
+                            interpret=True)
+
+    rng = np.random.default_rng(1)
+    tmpl, carry = None, None
+    for i in range(3):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (2, num_pts)), jnp.float32)
+        tmpl, ref = ref_step(variables, tmpl, scan)
+        carry, got = v3(carry, scan)
+        for k in ref:
+            a, b_ = np.asarray(got[k], np.float32), np.asarray(ref[k])
+            # bf16 conv stacks + quantized-ish pipeline: loose tolerance,
+            # strong correlation
+            corr = np.corrcoef(a.ravel(), b_.ravel())[0, 1]
+            assert corr > 0.99, (i, k, corr)
+            assert np.abs(a - b_).max() < 0.15 * max(np.abs(b_).max(), 1.0), (i, k)
+
+
+def test_serve_step_v3_int8():
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import (
+        make_stream_step, make_serve_step_v3,
+    )
+
+    num_pts = 64
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=16,
+                         padding_val=29.99, area_mode=True,
+                         gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    cur = jnp.zeros((1, num_pts))
+    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+    rng = np.random.default_rng(1)
+    calib = rng.uniform(0.5, 20.0, (2, num_pts)).astype(np.float32)
+
+    ref_step = make_stream_step(model, cutout_kwargs, num_pts=num_pts,
+                                donate_template=False, with_nms=False)
+    v3 = make_serve_step_v3(model, variables, cutout_kwargs,
+                            calib_scans=calib, num_pts=num_pts,
+                            with_nms=False, precision="int8", tile=16,
+                            interpret=True)
+    tmpl, carry = None, None
+    for i in range(3):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (2, num_pts)), jnp.float32)
+        tmpl, ref = ref_step(variables, tmpl, scan)
+        carry, got = v3(carry, scan)
+        for k in ("pred_cls", "pred_flow"):
+            a, b_ = np.asarray(got[k], np.float32), np.asarray(ref[k])
+            corr = np.corrcoef(a.ravel(), b_.ravel())[0, 1]
+            assert corr > 0.97, (i, k, corr)

@@ -183,3 +183,58 @@ def test_trainer_preemption_and_resume(drow_dir, tmp_path):
     out, rc2 = trainer2.train(resumed, loader)
     assert rc2 == 0
     assert int(out.epoch) == 1
+
+
+def test_bf16_mixed_precision_training_learns(tmp_path, rng):
+    """compute_dtype=bfloat16: forward/backward in bf16 with f32 master
+    weights — loss must still decrease and state stays f32."""
+    from planar_optical_flow_tpu.models import SpatialDrow
+    from planar_optical_flow_tpu.train import (
+        Trainer, create_train_state, make_optimizer, tasks,
+    )
+    from planar_optical_flow_tpu.utils import RunLogger
+
+    num_pts, n_scans = 48, 2
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=8,
+                         padding_val=29.99)
+    batches = []
+    for _ in range(4):
+        batches.append({
+            "scans": rng.uniform(0.5, 20.0, (8, n_scans + 1, num_pts))
+            .astype(np.float32),
+            "target_cls": rng.integers(0, 2, (8, num_pts)).astype(np.int32),
+            "target_reg": rng.normal(size=(8, num_pts, 2)).astype(np.float32),
+        })
+
+    model = SpatialDrow(window_size=5, pedestrian_only=True)
+    task = tasks.DetectionTask(cutout_kwargs=cutout_kwargs, num_pts=num_pts)
+    tx = make_optimizer({"scheduler_kwargs": {"lr0": 1e-3}},
+                        steps_per_epoch=len(batches))
+    x = jnp.zeros((8, num_pts, n_scans + 1, 8))
+    state = create_train_state(model, (x,), tx, init_kwargs={"train": False})
+    logger = RunLogger({"log_dir": str(tmp_path), "tag": "bf16"})
+    trainer = Trainer(
+        logger, {"epoch": 3, "ckpt_interval": 0, "eval_interval": 0,
+                 "compute_dtype": "bfloat16"},
+        task, install_signal_handlers=False,
+    )
+    state, rc = trainer.train(state, batches)
+    assert rc == 0
+    # master weights stay f32
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(a.dtype == jnp.float32 for a in leaves
+               if jnp.issubdtype(a.dtype, jnp.floating))
+    assert state.batch_stats is None or all(
+        a.dtype == jnp.float32
+        for a in jax.tree_util.tree_leaves(state.batch_stats)
+        if jnp.issubdtype(a.dtype, jnp.floating))
+    # loss decreased over training
+    import json as _json
+    losses = [
+        _json.loads(line)["value"]
+        for line in open(os.path.join(logger.tb_dir, "scalars.jsonl"))
+        if _json.loads(line)["key"] == "TRAIN_loss"
+    ]
+    assert len(losses) >= 8
+    assert losses[-1] < losses[0]
