@@ -205,8 +205,8 @@ def banded_mix_update(attn, x, template, alpha: float, window_size: int,
 
 
 def _gate_fused_kernel(zx_ref, zt_ref, x_ref, t_ref,
-                       out_ref, z_ref, sim_ref, *, hw, alpha, ct,
-                       compute_dtype):
+                       out_ref, z_ref, sim_ref, attn_scr, *, hw, alpha, ct,
+                       ct_valid, compute_dtype):
     """Whole post-embed gate for one (stream, D-chunk) block (2-D refs:
     (ct, d_chunk) template/x slices of the flat (N, D) arrays).
 
@@ -214,49 +214,47 @@ def _gate_fused_kernel(zx_ref, zt_ref, x_ref, t_ref,
     cheap in-VMEM rolls, then EXPANDED to a dense (ct, ct) banded matrix via
     11 diagonal selects so the template mix runs as ONE MXU matmul
     (ct, ct) @ (ct, d_chunk) — the MXU absorbs the off-band zeros far
-    cheaper than the VPU can shift the template. new_z / sim_band are
-    written on the first D-chunk only.
+    cheaper than the VPU can shift the template. The dense matrix is built
+    once per stream on the first D-chunk and cached in VMEM scratch (the
+    chunk axis is the inner grid dimension); new_z / sim_band are also
+    written there.
     """
     j = pl.program_id(1)
-    zx = zx_ref[:].astype(jnp.float32)  # (ct, 128)
-    zt = zt_ref[:].astype(jnp.float32)
-    ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
-    et = jnp.where(zt > 0, zt, _LEAKY_SLOPE * zt)
-
-    # banded similarity: s[:, k] = sum(ex * et[r + o]) for o = k - hw
-    cols = []
-    for o in range(-hw, hw + 1):
-        sh = pltpu.roll(et, (-o) % ct, axis=0) if o else et
-        cols.append(jnp.sum(ex * sh, axis=-1, keepdims=True))
-    s = jnp.concatenate(cols, axis=1)  # (ct, 2hw+1)
-
-    ri = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 0)
-    oi = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 1) - hw
-    valid = (ri + oi >= 0) & (ri + oi < ct)
-    masked = jnp.where(valid, s, -1e10)
-    m = jnp.max(masked, axis=1, keepdims=True)
-    e = jnp.exp(masked - m)
-    e = jnp.where(valid, e, 0.0)
-    attn = e / jnp.sum(e, axis=1, keepdims=True)  # (ct, 11)
-
-    # dense banded attention (ct, ct): place attn[:, k] on diagonal o = k-hw
-    rr = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
-    diag = cc - rr  # in [-(ct-1), ct-1]
-    attn_d = jnp.zeros((ct, ct), jnp.float32)
-    for k, o in enumerate(range(-hw, hw + 1)):
-        attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
-
-    t = t_ref[:]
-    mixed = jax.lax.dot_general(
-        attn_d.astype(compute_dtype), t.astype(compute_dtype),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    x = x_ref[:].astype(jnp.float32)
-    out_ref[:] = (alpha * x + (1.0 - alpha) * mixed).astype(out_ref.dtype)
 
     @pl.when(j == 0)
     def _():
+        zx = zx_ref[:].astype(jnp.float32)  # (ct, 128)
+        zt = zt_ref[:].astype(jnp.float32)
+        ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
+        et = jnp.where(zt > 0, zt, _LEAKY_SLOPE * zt)
+
+        # banded similarity: s[:, k] = sum(ex * et[r + o]) for o = k - hw
+        cols = []
+        for o in range(-hw, hw + 1):
+            sh = pltpu.roll(et, (-o) % ct, axis=0) if o else et
+            cols.append(jnp.sum(ex * sh, axis=-1, keepdims=True))
+        s = jnp.concatenate(cols, axis=1)  # (ct, 2hw+1)
+
+        # ct may be padded up to a sublane multiple; rows/cols beyond
+        # ct_valid are dead (attn 0, guarded denominator)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 0)
+        oi = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 1) - hw
+        valid = ((ri + oi >= 0) & (ri + oi < ct_valid) & (ri < ct_valid))
+        masked = jnp.where(valid, s, -1e10)
+        m = jnp.max(masked, axis=1, keepdims=True)
+        e = jnp.exp(masked - m)
+        e = jnp.where(valid, e, 0.0)
+        attn = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-20)
+
+        # dense banded attention: attn[:, k] on diagonal o = k - hw
+        rr = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
+        diag = cc - rr
+        attn_d = jnp.zeros((ct, ct), jnp.float32)
+        for k, o in enumerate(range(-hw, hw + 1)):
+            attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
+        attn_scr[:] = attn_d.astype(attn_scr.dtype)
+
         # new_z = alpha * zx + (1 - alpha) * attn @ z_t
         zmix = jax.lax.dot_general(
             attn_d.astype(compute_dtype), zt_ref[:].astype(compute_dtype),
@@ -266,16 +264,25 @@ def _gate_fused_kernel(zx_ref, zt_ref, x_ref, t_ref,
         # sim_band with the reference's edge-clamped duplicates: invalid
         # offsets read the clamped column (0 or ct-1)
         c0 = jnp.sum(ex * et[0:1], axis=-1, keepdims=True)   # (ct, 1)
-        c1 = jnp.sum(ex * et[ct - 1:ct], axis=-1, keepdims=True)
+        c1 = jnp.sum(ex * et[ct_valid - 1:ct_valid], axis=-1, keepdims=True)
         clamped = jnp.where(ri + oi < 0, c0, c1)
         sim_ref[:] = jnp.where(valid, s, clamped).astype(sim_ref.dtype)
 
+    t = t_ref[:]
+    mixed = jax.lax.dot_general(
+        attn_scr[:].astype(compute_dtype), t.astype(compute_dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    x = x_ref[:].astype(jnp.float32)
+    out_ref[:] = (alpha * x + (1.0 - alpha) * mixed).astype(out_ref.dtype)
+
 
 @functools.partial(jax.jit, static_argnames=("ct", "alpha", "window_size",
-                                             "d_chunk", "interpret"))
+                                             "d_chunk", "ct_valid",
+                                             "interpret"))
 def gate_fused_flat(zx, zt, x, template, ct: int, alpha: float,
                     window_size: int, d_chunk: int = 896,
-                    interpret: bool = False):
+                    ct_valid: int | None = None, interpret: bool = False):
     """Fused post-embed gate on FLAT arrays: (new_template, new_z, sim_band).
 
     zx, zt: (N, 128) pre-activation embeddings; x, template: (N, D) with
@@ -290,7 +297,8 @@ def gate_fused_flat(zx, zt, x, template, ct: int, alpha: float,
     grid = (n // ct, d // d_chunk)
     zdim = zx.shape[-1]
     kernel = functools.partial(_gate_fused_kernel, hw=hw, alpha=alpha,
-                               ct=ct, compute_dtype=x.dtype)
+                               ct=ct, ct_valid=ct_valid or ct,
+                               compute_dtype=x.dtype)
     zspec = pl.BlockSpec((ct, zdim), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((ct, d_chunk), lambda i, j: (i, j),
@@ -311,6 +319,7 @@ def gate_fused_flat(zx, zt, x, template, ct: int, alpha: float,
             pl.BlockSpec((ct, 2 * hw + 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((ct, ct), jnp.float32)],
         interpret=interpret,
     )(zx, zt, x, template)
     return new_t, new_z, sim

@@ -422,6 +422,12 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     ct_len = cutout_kwargs.get("num_cutout_pts", 48)
     l4 = ct_len // 4
     d_feat = l4 * 256
+    # run the pipeline at a sublane-aligned cutout count: Pallas blocks need
+    # the second-to-last dim divisible by 8, and with p_pad % 8 == 0 every
+    # flat (N*L4, 256) <-> (B, p_pad, D) reshape is a free bitcast (no
+    # physical padding). The 6 dead rows (450 -> 456) are masked in the gate
+    # and sliced off the outputs.
+    p_pad = ((num_pts + 7) // 8) * 8
 
     use_int8 = precision == "int8"
     if use_int8:
@@ -460,25 +466,35 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
             method=lambda m, s, c: m._flow_head(s, c, train=False),
         )
 
+    embed_w = (gate_params.w, gate_params.b)
+
     def backbone(scan):
+        """-> (feats (N, D) bf16, zx (N, 128)) — the gate embed is fused
+        into the backbone kernel's epilogue. N = B * p_pad."""
         b = scan.shape[0]
         cutouts = _encode_single(scan, phi, cutout_kwargs)  # (B, P, C) f32
-        flat = cutouts.reshape(b * num_pts, ct_len)
+        if p_pad != num_pts:
+            cutouts = jnp.pad(
+                cutouts, ((0, 0), (0, p_pad - num_pts), (0, 0))
+            )
+        flat = cutouts.reshape(b * p_pad, ct_len)
         act1 = cs.backbone_layer1(flat, layer1_w)  # (N*L, 64) bf16
         if use_int8:
             act1_q = cs.quantize_int8(act1.astype(jnp.float32), bb_in_scale)
-            feats = cs.fused_backbone_int8(
+            feats, zx = cs.fused_backbone_int8(
                 act1_q, bb_q, l=ct_len, tile=tile, out_dtype=jnp.bfloat16,
-                interpret=interpret,
+                embed_weights=embed_w, interpret=interpret,
             )  # (N*L4, 256) bf16
         else:
-            feats = cs.fused_backbone_v2(
+            feats, zx = cs.fused_backbone_v2(
                 act1, bb_tail_w, l=ct_len, tile=tile,
                 compute_dtype=jnp.bfloat16, conv_mode=conv_mode,
-                interpret=interpret,
-            ).reshape(b * num_pts * l4, 256)
-        # flat row-major merge: (N*L4, 256) -> (N, L4*256); no 450-padding
-        return feats.reshape(b * num_pts, d_feat)
+                embed_weights=embed_w, interpret=interpret,
+            )
+            feats = feats.reshape(b * p_pad * l4, 256)
+        # flat row-major merge: (N*L4, 256) -> (N, L4*256): free bitcast
+        # because p_pad is sublane-aligned
+        return feats.reshape(b * p_pad, d_feat), zx
 
     def head(template_flat):
         flat = template_flat.reshape(-1, 256)  # (N*L4, 256) row-major
@@ -496,27 +512,30 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
 
     def step(carry, scan):
         b = scan.shape[0]
-        feats = backbone(scan)                       # (N, D) bf16
-        zx = fg.embed(gate_params, feats)            # (N, 128)
+        feats, zx = backbone(scan)                   # (N, D), (N, 128)
         if carry is None:
             template, z = feats, zx
             _, _, sim = fg.gate_fused_flat(
-                zx, zx, feats, feats, ct=num_pts, alpha=gate_params.alpha,
+                zx, zx, feats, feats, ct=p_pad, ct_valid=num_pts,
+                alpha=gate_params.alpha,
                 window_size=gate_params.window_size, interpret=interpret,
             )
         else:
             template, z, sim = fg.gate_fused_flat(
-                zx, carry["z"], feats, carry["template"], ct=num_pts,
-                alpha=gate_params.alpha,
+                zx, carry["z"], feats, carry["template"], ct=p_pad,
+                ct_valid=num_pts, alpha=gate_params.alpha,
                 window_size=gate_params.window_size, interpret=interpret,
             )
         cls, reg = head(template)
-        pred_cls = cls.reshape(b, num_pts, -1).astype(jnp.float32)
-        pred_reg = reg.reshape(b, num_pts, 2).astype(jnp.float32)
+        pred_cls = (cls.reshape(b, p_pad, -1)[:, :num_pts]
+                    .astype(jnp.float32))
+        pred_reg = (reg.reshape(b, p_pad, 2)[:, :num_pts]
+                    .astype(jnp.float32))
         probs = jax.nn.sigmoid(pred_cls)
         out = {"pred_cls": probs, "pred_reg": pred_reg}
         if is_flow:
-            sim_b = sim.reshape(b, num_pts, -1).astype(jnp.bfloat16)
+            sim_b = (sim.reshape(b, p_pad, -1)[:, :num_pts]
+                     .astype(jnp.bfloat16))
             flow = flow_apply(sim_b, scan.astype(jnp.bfloat16))
             out["pred_flow"] = canonical_to_global_flow(
                 flow.astype(jnp.float32), phi_j

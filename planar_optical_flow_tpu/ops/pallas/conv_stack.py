@@ -200,13 +200,38 @@ def _run_plan(x, ws, plan, l0, compute_dtype, conv_mode,
     return x
 
 
+def _embed_epilogue(out, ws_embed, z_ref, compute_dtype):
+    """Fused gate-embed: z = feats_flat @ W + b per cutout row.
+
+    ``out``: (tile*l4, 256) f32 block -> row-major merge to (tile, l4*256)
+    -> one MXU matmul. Saves the standalone embed pass + a full feature
+    re-read from HBM (infer/fast_gate.py)."""
+    we, be = ws_embed
+    rows, c = out.shape
+    tile = rows * c // we.shape[0]
+    e_in = out.reshape(tile, we.shape[0]).astype(compute_dtype)
+    z = jax.lax.dot_general(
+        e_in, we[:].astype(compute_dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + be[:]
+    z_ref[:] = z.astype(z_ref.dtype)
+
+
 def _backbone_kernel(x_ref, *refs, l0, compute_dtype, conv_mode,
-                     act_dtype=jnp.float32):
-    out_ref = refs[-1]
-    ws = refs[:-1]
+                     act_dtype=jnp.float32, with_embed=False):
+    if with_embed:
+        out_ref, z_ref = refs[-2], refs[-1]
+        ws = refs[:-4]
+        ws_embed = refs[-4:-2]
+    else:
+        out_ref = refs[-1]
+        ws = refs[:-1]
     out = _run_plan(x_ref[:].astype(act_dtype), ws, _BACKBONE_PLAN, l0,
                     compute_dtype, conv_mode, act_dtype)
     out_ref[:] = out.astype(out_ref.dtype)
+    if with_embed:
+        _embed_epilogue(out.astype(jnp.float32), ws_embed, z_ref,
+                        compute_dtype)
 
 
 def _head_kernel(x_ref, *refs, l0, compute_dtype, conv_mode):
@@ -234,11 +259,14 @@ def _pad_rows(n, tile):
                                              "interpret"))
 def fused_backbone_v2(act1, weights, l: int = 56, tile: int = 64,
                       compute_dtype=jnp.bfloat16, conv_mode: str = "concat",
-                      act_dtype=jnp.float32, interpret: bool = False):
+                      act_dtype=jnp.float32, embed_weights=None,
+                      interpret: bool = False):
     """Flat layer-1 activation (N*L, 64) -> (N, L//4, 256) features.
 
     ``act1`` from :func:`backbone_layer1`; ``weights`` the second element of
-    :func:`backbone_stack_weights`.
+    :func:`backbone_stack_weights`. With ``embed_weights`` (W (l4*256, 128),
+    b (128,)) the kernel also emits the gate's pre-activation embedding
+    zx (N, 128) from the epilogue; returns (feats, zx).
     """
     nl, c1 = act1.shape
     n = nl // l
@@ -246,22 +274,36 @@ def fused_backbone_v2(act1, weights, l: int = 56, tile: int = 64,
     x = jnp.pad(act1, ((0, (n_pad - n) * l), (0, 0)))
     grid = (n_pad // tile,)
     l4 = l // 4
+    with_embed = embed_weights is not None
     kernel = functools.partial(_backbone_kernel, l0=l,
                                compute_dtype=compute_dtype,
-                               conv_mode=conv_mode, act_dtype=act_dtype)
-    out = pl.pallas_call(
+                               conv_mode=conv_mode, act_dtype=act_dtype,
+                               with_embed=with_embed)
+    weights = list(weights) + (list(embed_weights) if with_embed else [])
+    out_shape = jax.ShapeDtypeStruct((n_pad * l4, 256), compute_dtype)
+    out_spec = pl.BlockSpec((tile * l4, 256), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    if with_embed:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n_pad, 128), compute_dtype))
+        out_spec = (out_spec,
+                    pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad * l4, 256), compute_dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[pl.BlockSpec((tile * l, c1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
                         memory_space=pltpu.VMEM) for w in weights],
-        out_specs=pl.BlockSpec((tile * l4, 256), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         interpret=interpret,
     )(x, *weights)
-    return out[:n * l4].reshape(n, l4, 256)
+    if with_embed:
+        out, zx = res
+        return out[:n * l4].reshape(n, l4, 256), zx[:n]
+    return res[:n * l4].reshape(n, l4, 256)
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes", "l4", "tile",
@@ -367,9 +409,12 @@ def quantize_int8(x, scale):
     return jnp.clip(jnp.rint(x / scale), -127, 127).astype(jnp.int8)
 
 
-def _conv_int8(xq, wm, w0, wp, s_eff, b_eff, l, requant):
+def _conv_int8(xq, wm, w0, wp, s_eff, b_eff, l):
     """k=3 SAME conv on int8 (rows, Cin): 3 unshifted int8 matmuls, taps
-    realized by rolling the int32 accumulators, single fused epilogue."""
+    realized by rolling the int32 accumulators, fused f32 epilogue
+    (dequant + bias + leaky, with the next layer's requant scale already
+    folded in). Returns f32; the caller requantizes AFTER any pooling —
+    Mosaic has no vector int max, and max commutes with rint/clip."""
     rows = xq.shape[0]
     first, last = _row_masks(rows, l)
     dn = (((1,), (0,)), ((), ()))
@@ -380,16 +425,11 @@ def _conv_int8(xq, wm, w0, wp, s_eff, b_eff, l, requant):
     acc = y1 + jnp.where(first, 0, pltpu.roll(y0, 1, axis=0))
     acc = acc + jnp.where(last, 0, pltpu.roll(y2, rows - 1, axis=0))
     y = acc.astype(jnp.float32) * s_eff + b_eff
-    y = jnp.where(y > 0, y, _LEAKY_SLOPE * y)
-    if requant:
-        return jnp.clip(jnp.rint(y), -127, 127).astype(jnp.int8)
-    return y
+    return jnp.where(y > 0, y, _LEAKY_SLOPE * y)
 
 
-def _pool2_any(x):
-    rows, c = x.shape
-    y = x.reshape(rows // 2, 2 * c)
-    return jnp.maximum(y[:, :c], y[:, c:])
+def _requant(y):
+    return jnp.clip(jnp.rint(y), -127.0, 127.0).astype(jnp.int8)
 
 
 def _run_plan_int8(xq, ws, plan, l0):
@@ -398,26 +438,41 @@ def _run_plan_int8(xq, ws, plan, l0):
     n_conv = sum(1 for op in plan if op[0] == "conv")
     ci = 0
     x = xq
-    for op in plan:
+    for pi, op in enumerate(plan):
         if op[0] == "conv":
             ci += 1
-            requant = ci < n_conv
-            x = _conv_int8(x, ws[wi][:], ws[wi + 1][:], ws[wi + 2][:],
-                           ws[wi + 3][:], ws[wi + 4][:], l, requant)
+            y = _conv_int8(x, ws[wi][:], ws[wi + 1][:], ws[wi + 2][:],
+                           ws[wi + 3][:], ws[wi + 4][:], l)
             wi += 5
+            if pi + 1 < len(plan) and plan[pi + 1][0] == "pool":
+                x = y  # pool on f32, requant after (see _conv_int8)
+            elif ci < n_conv:
+                x = _requant(y)
+            else:
+                x = y  # last layer: f32 out (dequant scales folded)
         elif op[0] == "pool":
-            x = _pool2_any(x)
+            x = _pool2(x)  # f32
             l //= 2
+            if ci < n_conv:
+                x = _requant(x)
         elif op[0] == "mean":
-            x = _mean_rows(x.astype(jnp.float32), l)
+            x = _mean_rows(x, l)
             l = 1
     return x
 
 
-def _backbone_int8_kernel(x_ref, *refs, l0):
-    out_ref = refs[-1]
-    out = _run_plan_int8(x_ref[:], refs[:-1], _BACKBONE_PLAN, l0)
+def _backbone_int8_kernel(x_ref, *refs, l0, with_embed=False):
+    if with_embed:
+        out_ref, z_ref = refs[-2], refs[-1]
+        ws = refs[:-4]
+        ws_embed = refs[-4:-2]
+    else:
+        out_ref = refs[-1]
+        ws = refs[:-1]
+    out = _run_plan_int8(x_ref[:], ws, _BACKBONE_PLAN, l0)
     out_ref[:] = out.astype(out_ref.dtype)
+    if with_embed:
+        _embed_epilogue(out, ws_embed, z_ref, jnp.bfloat16)
 
 
 def _head_int8_kernel(x_ref, *refs, l0, compute_dtype):
@@ -438,29 +493,45 @@ def _head_int8_kernel(x_ref, *refs, l0, compute_dtype):
 @functools.partial(jax.jit, static_argnames=("l", "tile", "out_dtype",
                                              "interpret"))
 def fused_backbone_int8(act1_q, weights, l: int = 56, tile: int = 64,
-                        out_dtype=jnp.bfloat16, interpret: bool = False):
+                        out_dtype=jnp.bfloat16, embed_weights=None,
+                        interpret: bool = False):
     """int8 layer-1 activation (N*L, 64) -> (N*L//4, 256) flat features
-    (dequantized to ``out_dtype`` by the last layer's epilogue)."""
+    (dequantized to ``out_dtype`` by the last layer's epilogue). With
+    ``embed_weights``, also emits zx (N, 128); returns (feats, zx)."""
     nl, c1 = act1_q.shape
     n = nl // l
     n_pad = _pad_rows(n, tile)
     x = jnp.pad(act1_q, ((0, (n_pad - n) * l), (0, 0)))
     grid = (n_pad // tile,)
     l4 = l // 4
-    kernel = functools.partial(_backbone_int8_kernel, l0=l)
-    out = pl.pallas_call(
+    with_embed = embed_weights is not None
+    kernel = functools.partial(_backbone_int8_kernel, l0=l,
+                               with_embed=with_embed)
+    weights = list(weights) + (list(embed_weights) if with_embed else [])
+    out_shape = jax.ShapeDtypeStruct((n_pad * l4, 256), out_dtype)
+    out_spec = pl.BlockSpec((tile * l4, 256), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    if with_embed:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n_pad, 128), jnp.bfloat16))
+        out_spec = (out_spec,
+                    pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad * l4, 256), out_dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[pl.BlockSpec((tile * l, c1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
                         memory_space=pltpu.VMEM) for w in weights],
-        out_specs=pl.BlockSpec((tile * l4, 256), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         interpret=interpret,
     )(x, *weights)
-    return out[:n * l4]
+    if with_embed:
+        out, zx = res
+        return out[:n * l4], zx[:n]
+    return res[:n * l4]
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes", "l4", "tile",

@@ -140,13 +140,16 @@ def test_serve_step_matches_stream_step(gate_mix):
 
 def test_serve_step_v3_matches_stream_step():
     """Flat fused pipeline (pallas conv kernels + fused gate) vs the module
-    path, bf16 compute at loose tolerance over multiple steps."""
+    path, bf16 compute at loose tolerance over multiple steps.
+
+    num_pts = 60 exercises the sublane padding path (60 -> 64 rows with
+    dead-row masking in the gate)."""
     from planar_optical_flow_tpu.models import FlowDrow
     from planar_optical_flow_tpu.infer.streaming import (
         make_stream_step, make_serve_step_v3,
     )
 
-    num_pts = 64
+    num_pts = 60
     cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
                          window_depth=0.5, num_cutout_pts=16,
                          padding_val=29.99, area_mode=True,
