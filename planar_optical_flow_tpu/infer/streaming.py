@@ -352,11 +352,21 @@ def make_serve_step(model, variables, cutout_kwargs, num_pts: int = 450,
             out["pred_flow"] = canonical_to_global_flow(flow, phi_j)
         if with_nms:
             conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
-            det_xys, det_cls, keep, inst = jax.vmap(
-                lambda s, c, r: nms_predicted_center(
+            if nms_top_k:
+                from planar_optical_flow_tpu.ops.nms import (
+                    nms_predicted_center_topk,
+                )
+
+                nms_fn = lambda s, c, r: nms_predicted_center_topk(
+                    s, phi_j, c, r, min_dist=nms_min_dist, top_k=nms_top_k
+                )
+            else:
+                nms_fn = lambda s, c, r: nms_predicted_center(
                     s, phi_j, c, r, min_dist=nms_min_dist
                 )
-            )(scan, conf, pred_reg)
+            det_xys, det_cls, keep, inst = jax.vmap(nms_fn)(
+                scan, conf, pred_reg
+            )
             out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
                        instance_mask=inst)
         return {"template": template, "z": z}, out
@@ -374,7 +384,8 @@ def make_serve_step(model, variables, cutout_kwargs, num_pts: int = 450,
 
 def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                        num_pts: int = 450, nms_min_dist: float = 0.5,
-                       with_nms: bool = True, precision: str = "bf16",
+                       with_nms: bool = True, nms_top_k: int | None = 64,
+                       precision: str = "bf16",
                        conv_mode: str = "3mm", tile: int = 64,
                        interpret: bool = False):
     """Flat-layout fused serving step (fastest path, see BASELINE.md).
@@ -429,15 +440,44 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     # and sliced off the outputs.
     p_pad = ((num_pts + 7) // 8) * 8
 
+    # the pallas cutout kernel covers the serving config (fixed geometry,
+    # stride 1); anything else falls back to the XLA matmul-sampling path
+    pallas_cutout = (bool(cutout_kwargs.get("fixed"))
+                     and cutout_kwargs.get("stride", 1) == 1)
+
+    def encode(scan, b):
+        if pallas_cutout:
+            from planar_optical_flow_tpu.ops.pallas.cutout_kernel import (
+                cutout_fused,
+            )
+
+            scan_p = jnp.pad(scan, ((0, 0), (0, p_pad - num_pts)))
+            return cutout_fused(
+                scan_p, num_cutout_pts=ct_len,
+                window_width=cutout_kwargs.get("window_width", 1.66),
+                window_depth=cutout_kwargs.get("window_depth", 1.0),
+                padding_val=cutout_kwargs.get("padding_val", 29.99),
+                centered=cutout_kwargs.get("centered", True),
+                area_mode=cutout_kwargs.get("area_mode", False),
+                p_valid=num_pts, interpret=interpret,
+            )  # (B * p_pad, C) f32
+        cutouts = _encode_single(scan, phi, cutout_kwargs)  # (B, P, C)
+        if p_pad != num_pts:
+            cutouts = jnp.pad(
+                cutouts, ((0, 0), (0, p_pad - num_pts), (0, 0))
+            )
+        return cutouts.reshape(b * p_pad, ct_len)
+
     use_int8 = precision == "int8"
     if use_int8:
         if calib_scans is None:
             raise ValueError("int8 precision requires calib_scans")
         calib = jnp.asarray(calib_scans, jnp.float32)
-        cut_c = _encode_single(calib, phi, cutout_kwargs)  # (B0, P, C)
-        n0 = cut_c.shape[0] * cut_c.shape[1]
+        # calibrate on the SAME encode path the runtime uses
+        cut_c = encode(calib, calib.shape[0])  # (B0 * p_pad, C)
+        n0 = cut_c.shape[0]
         act1_c = np.asarray(cs.backbone_layer1(
-            cut_c.reshape(n0, ct_len), layer1_w, compute_dtype=jnp.float32,
+            cut_c, layer1_w, compute_dtype=jnp.float32,
         ))
         bb_blocks = (_block_params(bb_vars, "block1", 3)
                      + _block_params(bb_vars, "block2", 3))
@@ -472,12 +512,7 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         """-> (feats (N, D) bf16, zx (N, 128)) — the gate embed is fused
         into the backbone kernel's epilogue. N = B * p_pad."""
         b = scan.shape[0]
-        cutouts = _encode_single(scan, phi, cutout_kwargs)  # (B, P, C) f32
-        if p_pad != num_pts:
-            cutouts = jnp.pad(
-                cutouts, ((0, 0), (0, p_pad - num_pts), (0, 0))
-            )
-        flat = cutouts.reshape(b * p_pad, ct_len)
+        flat = encode(scan, b)
         act1 = cs.backbone_layer1(flat, layer1_w)  # (N*L, 64) bf16
         if use_int8:
             act1_q = cs.quantize_int8(act1.astype(jnp.float32), bb_in_scale)
@@ -542,11 +577,21 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
             )
         if with_nms:
             conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
-            det_xys, det_cls, keep, inst = jax.vmap(
-                lambda s, c, r: nms_predicted_center(
+            if nms_top_k:
+                from planar_optical_flow_tpu.ops.nms import (
+                    nms_predicted_center_topk,
+                )
+
+                nms_fn = lambda s, c, r: nms_predicted_center_topk(
+                    s, phi_j, c, r, min_dist=nms_min_dist, top_k=nms_top_k
+                )
+            else:
+                nms_fn = lambda s, c, r: nms_predicted_center(
                     s, phi_j, c, r, min_dist=nms_min_dist
                 )
-            )(scan, conf, pred_reg)
+            det_xys, det_cls, keep, inst = jax.vmap(nms_fn)(
+                scan, conf, pred_reg
+            )
             out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
                        instance_mask=inst)
         return {"template": template, "z": z}, out

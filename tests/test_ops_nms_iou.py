@@ -188,3 +188,40 @@ def test_nms_while_matches_oracle(rng):
                                                      pred_reg)
     np.testing.assert_allclose(got_xys, want_xys, rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(inst), want_inst)
+
+
+def test_nms_topk_matches_full(rng):
+    """Top-k NMS keeps exactly the same detections as the full greedy pass
+    (restricted to the top-k slots), on clustered vote patterns."""
+    import jax.numpy as jnp
+
+    from planar_optical_flow_tpu.ops.nms import (
+        nms_predicted_center, nms_predicted_center_topk,
+    )
+    from planar_optical_flow_tpu.ops.geometry import get_laser_phi
+
+    num_pts = 450
+    phi = jnp.asarray(get_laser_phi(num_pts=num_pts), jnp.float32)
+    scan = jnp.asarray(rng.uniform(1.0, 15.0, num_pts), jnp.float32)
+    # votes clustered around a handful of centers
+    pred_reg = jnp.asarray(rng.normal(scale=0.1, size=(num_pts, 2)),
+                           jnp.float32)
+    pred_cls = jnp.asarray(rng.uniform(0, 1, (num_pts, 1)), jnp.float32)
+
+    xys_f, cls_f, keep_f, _ = nms_predicted_center(
+        scan, phi, pred_cls, pred_reg, min_dist=0.5
+    )
+    xys_k, cls_k, keep_k, inst_k = nms_predicted_center_topk(
+        scan, phi, pred_cls, pred_reg, min_dist=0.5, top_k=64
+    )
+    kept_full = np.asarray(xys_f)[np.asarray(keep_f)]
+    kept_topk = np.asarray(xys_k)[np.asarray(keep_k)]
+    # the kept sets agree up to the first len(kept_topk) (full may keep
+    # extra ultra-low-confidence tail detections beyond the top-64)
+    m = min(len(kept_full), len(kept_topk))
+    assert m > 0
+    np.testing.assert_allclose(kept_topk[:m], kept_full[:m], rtol=1e-5)
+    conf_f = np.asarray(cls_f)[np.asarray(keep_f), 0]
+    conf_k = np.asarray(cls_k)[np.asarray(keep_k), 0]
+    np.testing.assert_allclose(conf_k[:m], conf_f[:m], rtol=1e-6)
+    assert inst_k.shape == (num_pts,)
