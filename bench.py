@@ -49,20 +49,36 @@ def main():
     scan = jnp.asarray(rng.uniform(0.5, 25.0, (batch, num_pts)),
                        dtype=jnp.float32)
 
-    use_int8 = os.environ.get("BENCH_INT8", "0") == "1"
-    if use_int8:
+    # BENCH_PATH: "v3-int8" (default; fastest, accuracy-gated via
+    # experiments/validate_int8_ap.py), "v3-bf16", "int8" (round-1 XLA int8),
+    # or "stream" (round-1 module path)
+    path = os.environ.get("BENCH_PATH", "v3-int8")
+    if os.environ.get("BENCH_INT8") == "1":  # round-1 A/B switch, kept
+        path = "int8"
+    if path.startswith("v3"):
+        from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
+
+        prec = "int8" if path.endswith("int8") else "bf16"
+        v3 = make_serve_step_v3(
+            model, variables, cutout_kwargs, calib_scans=np.asarray(scan[:8]),
+            num_pts=num_pts, precision=prec, tile=128,
+        )
+        step = lambda v, c, s: v3(c, s)
+        precision = (f"fused pallas pipeline, {prec} conv stacks, "
+                     "pallas cutout, top-64 NMS")
+    elif path == "int8":
         q_step = make_quantized_stream_step(
             model, variables, cutout_kwargs, np.asarray(scan[:8]),
             num_pts=num_pts,
         )
         step = lambda v, t, s: q_step(t, s)
-        precision = "int8 conv stacks + bf16 gate"
+        precision = "int8 conv stacks + bf16 gate (XLA)"
     else:
         variables = cast_variables(variables, jnp.bfloat16)
         step = make_stream_step(model, cutout_kwargs, num_pts=num_pts,
                                 donate_template=True,
                                 compute_dtype=jnp.bfloat16)
-        precision = "bf16 serving"
+        precision = "bf16 serving (module path)"
 
     # bootstrap + warmup (compile both programs)
     template, out = step(variables, None, scan)

@@ -390,3 +390,120 @@ def gate_bootstrap(params: GateParams, x):
     zx = embed(params, x)
     _, sim_band = _band_attention(params, zx, zx)
     return x, zx, sim_band
+
+
+# ---------------------------------------------------------------------------
+# int8-carry gate: template and current features live in int8 (symmetric,
+# fixed calibrated scales), so the gate's HBM traffic halves and the mix
+# matmul runs at the int8 MXU rate (the banded attention is exactly
+# representable at scale 1/127 since attn is in [0, 1]). All arithmetic is
+# f32 inside the kernel; only storage and matmul operands are int8.
+# ---------------------------------------------------------------------------
+
+
+def _gate_int8_kernel(zx_ref, zt_ref, x_ref, t_ref,
+                      out_ref, z_ref, sim_ref, attn_scr, *, hw, alpha, ct,
+                      ct_valid, s_x, s_t, s_out):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        zx = zx_ref[:].astype(jnp.float32)  # (ct, 128)
+        zt = zt_ref[:].astype(jnp.float32)
+        ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
+        et = jnp.where(zt > 0, zt, _LEAKY_SLOPE * zt)
+
+        cols = []
+        for o in range(-hw, hw + 1):
+            sh = pltpu.roll(et, (-o) % ct, axis=0) if o else et
+            cols.append(jnp.sum(ex * sh, axis=-1, keepdims=True))
+        s = jnp.concatenate(cols, axis=1)  # (ct, 2hw+1)
+
+        ri = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 0)
+        oi = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 1) - hw
+        valid = ((ri + oi >= 0) & (ri + oi < ct_valid) & (ri < ct_valid))
+        masked = jnp.where(valid, s, -1e10)
+        m = jnp.max(masked, axis=1, keepdims=True)
+        e = jnp.exp(masked - m)
+        e = jnp.where(valid, e, 0.0)
+        attn = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-20)
+
+        rr = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
+        diag = cc - rr
+        attn_d = jnp.zeros((ct, ct), jnp.float32)
+        for k, o in enumerate(range(-hw, hw + 1)):
+            attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
+        # attn in [0, 1]: int8 at scale 1/127
+        attn_scr[:] = jnp.clip(jnp.rint(attn_d * 127.0), -127, 127
+                               ).astype(jnp.int8)
+
+        zmix = jax.lax.dot_general(
+            attn_d.astype(jnp.bfloat16), zt_ref[:].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        z_ref[:] = (alpha * zx + (1.0 - alpha) * zmix).astype(z_ref.dtype)
+        c0 = jnp.sum(ex * et[0:1], axis=-1, keepdims=True)
+        c1 = jnp.sum(ex * et[ct_valid - 1:ct_valid], axis=-1, keepdims=True)
+        clamped = jnp.where(ri + oi < 0, c0, c1)
+        sim_ref[:] = jnp.where(valid, s, clamped).astype(sim_ref.dtype)
+
+    mixed32 = jax.lax.dot_general(
+        attn_scr[:], t_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # int8 @ int8
+    mixed = mixed32.astype(jnp.float32) * (s_t / 127.0)
+    x = x_ref[:].astype(jnp.float32) * s_x
+    new_t = alpha * x + (1.0 - alpha) * mixed
+    out_ref[:] = jnp.clip(jnp.rint(new_t / s_out), -127, 127
+                          ).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("ct", "alpha", "window_size",
+                                             "d_chunk", "ct_valid", "s_x",
+                                             "s_t", "s_out", "interpret"))
+def gate_fused_int8(zx, zt, x_q, t_q, ct: int, alpha: float,
+                    window_size: int, s_x: float, s_t: float, s_out: float,
+                    d_chunk: int = 896, ct_valid: int | None = None,
+                    interpret: bool = False):
+    """int8-carry fused gate on FLAT arrays.
+
+    zx, zt: (N, 128) f32/bf16 pre-activation embeddings; x_q, t_q: (N, D)
+    int8 at scales ``s_x`` / ``s_t``. Returns (new_template int8 at
+    ``s_out``, new_z, sim_band).
+    """
+    n, d = t_q.shape
+    hw = window_size // 2
+    if d % d_chunk:
+        d_chunk = d
+    grid = (n // ct, d // d_chunk)
+    zdim = zx.shape[-1]
+    kernel = functools.partial(
+        _gate_int8_kernel, hw=hw, alpha=alpha, ct=ct,
+        ct_valid=ct_valid or ct, s_x=float(s_x), s_t=float(s_t),
+        s_out=float(s_out),
+    )
+    zspec = pl.BlockSpec((ct, zdim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((ct, d_chunk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    new_t, new_z, sim = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, d), jnp.int8),
+            jax.ShapeDtypeStruct((n, zdim), zx.dtype),
+            jax.ShapeDtypeStruct((n, 2 * hw + 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[zspec, zspec, dspec, dspec],
+        out_specs=(
+            dspec,
+            pl.BlockSpec((ct, zdim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2 * hw + 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((ct, ct), jnp.int8)],
+        interpret=interpret,
+    )(zx, zt, x_q, t_q)
+    return new_t, new_z, sim

@@ -265,6 +265,7 @@ def make_quantized_stream_step(model, variables, cutout_kwargs, calib_scans,
 
 def make_serve_step(model, variables, cutout_kwargs, num_pts: int = 450,
                     nms_min_dist: float = 0.5, with_nms: bool = True,
+                    nms_top_k: int | None = None,
                     compute_dtype=jnp.bfloat16, gate_mix: str = "pallas",
                     interpret: bool = False):
     """Production serving step: the fastest measured composition of the
@@ -398,9 +399,11 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     -> fused gate kernel (banded attention + dense-banded MXU mix + z carry
     + sim_band) -> fused head (pallas) -> sigmoid/flow/NMS.
 
-    ``precision``: "bf16", or "int8" for int8 conv stacks with the requant
-    fused in the kernel epilogues (requires ``calib_scans`` (B0, num_pts)
-    f32 for activation-scale calibration).
+    ``precision``: "bf16"; "int8" for int8 conv stacks (bf16 gate carry);
+    or "int8c" for int8 end-to-end — conv stacks AND the template carry are
+    int8, the gate mixes with an int8 MXU matmul, and the head consumes the
+    int8 template directly (halves the gate's HBM traffic). "int8"/"int8c"
+    require ``calib_scans`` (B0, num_pts) f32 for scale calibration.
 
     Returns ``step(carry, scan) -> (carry', outputs)``; carry is
     ``{"template": (N, D) bf16, "z": (N, 128)}``.
@@ -468,7 +471,8 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
             )
         return cutouts.reshape(b * p_pad, ct_len)
 
-    use_int8 = precision == "int8"
+    use_int8 = precision in ("int8", "int8c")
+    int8_carry = precision == "int8c"
     if use_int8:
         if calib_scans is None:
             raise ValueError("int8 precision requires calib_scans")
@@ -481,9 +485,11 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         ))
         bb_blocks = (_block_params(bb_vars, "block1", 3)
                      + _block_params(bb_vars, "block2", 3))
-        bb_q, bb_in_scale, _ = cs.quantize_stack_int8(
+        # with an int8 carry the backbone's LAST layer also requants (its
+        # epilogue scale is then in feats-scale units, not true f32)
+        bb_q, bb_in_scale, feat_scale = cs.quantize_stack_int8(
             bb_blocks[1:], act1_c.reshape(n0, ct_len, 64)[:4096], ct_len,
-            pool_after={1, 4},
+            pool_after={1, 4}, dequant_last=not (precision == "int8c"),
         )
         # head calibration on a realistic (post-gate) template: run two f32
         # reference steps
@@ -497,6 +503,9 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         hd_q, hd_in_scale, _ = cs.quantize_stack_int8(
             hd_blocks, tmpl_np[:4096], l4, pool_after={2},
         )
+        if int8_carry:
+            feat_scale = float(feat_scale)
+            tmpl_scale = float(hd_in_scale)
 
     gate_vars = cast_variables(variables, jnp.bfloat16)
 
@@ -516,10 +525,19 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         act1 = cs.backbone_layer1(flat, layer1_w)  # (N*L, 64) bf16
         if use_int8:
             act1_q = cs.quantize_int8(act1.astype(jnp.float32), bb_in_scale)
-            feats, zx = cs.fused_backbone_int8(
-                act1_q, bb_q, l=ct_len, tile=tile, out_dtype=jnp.bfloat16,
-                embed_weights=embed_w, interpret=interpret,
-            )  # (N*L4, 256) bf16
+            if int8_carry:
+                # int8 feats; the embed weight absorbs the feats scale
+                feats, zx = cs.fused_backbone_int8(
+                    act1_q, bb_q, l=ct_len, tile=tile, out_dtype=jnp.int8,
+                    embed_weights=(embed_w[0] * feat_scale, embed_w[1]),
+                    interpret=interpret,
+                )
+            else:
+                feats, zx = cs.fused_backbone_int8(
+                    act1_q, bb_q, l=ct_len, tile=tile,
+                    out_dtype=jnp.bfloat16,
+                    embed_weights=embed_w, interpret=interpret,
+                )  # (N*L4, 256) bf16
         else:
             feats, zx = cs.fused_backbone_v2(
                 act1, bb_tail_w, l=ct_len, tile=tile,
@@ -533,6 +551,12 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
 
     def head(template_flat):
         flat = template_flat.reshape(-1, 256)  # (N*L4, 256) row-major
+        if int8_carry:
+            # template already int8 at the head's input scale
+            return cs.fused_head_int8(
+                flat, hd_q, hd_head_w, num_classes=num_classes, l4=l4,
+                tile=tile, interpret=interpret,
+            )
         if use_int8:
             tq = cs.quantize_int8(flat.astype(jnp.float32), hd_in_scale)
             return cs.fused_head_int8(
@@ -548,7 +572,30 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     def step(carry, scan):
         b = scan.shape[0]
         feats, zx = backbone(scan)                   # (N, D), (N, 128)
-        if carry is None:
+        if int8_carry:
+            if carry is None:
+                # bootstrap: template = feats, rescaled to the carry scale
+                template = jnp.clip(
+                    jnp.rint(feats.astype(jnp.float32)
+                             * (feat_scale / tmpl_scale)),
+                    -127, 127).astype(jnp.int8)
+                z = zx
+                _, _, sim = fg.gate_fused_int8(
+                    zx, zx, feats, feats, ct=p_pad, ct_valid=num_pts,
+                    alpha=gate_params.alpha,
+                    window_size=gate_params.window_size,
+                    s_x=feat_scale, s_t=feat_scale, s_out=tmpl_scale,
+                    interpret=interpret,
+                )
+            else:
+                template, z, sim = fg.gate_fused_int8(
+                    zx, carry["z"], feats, carry["template"], ct=p_pad,
+                    ct_valid=num_pts, alpha=gate_params.alpha,
+                    window_size=gate_params.window_size,
+                    s_x=feat_scale, s_t=tmpl_scale, s_out=tmpl_scale,
+                    interpret=interpret,
+                )
+        elif carry is None:
             template, z = feats, zx
             _, _, sim = fg.gate_fused_flat(
                 zx, zx, feats, feats, ct=p_pad, ct_valid=num_pts,

@@ -432,7 +432,7 @@ def _requant(y):
     return jnp.clip(jnp.rint(y), -127.0, 127.0).astype(jnp.int8)
 
 
-def _run_plan_int8(xq, ws, plan, l0):
+def _run_plan_int8(xq, ws, plan, l0, requant_last=False):
     l = l0
     wi = 0
     n_conv = sum(1 for op in plan if op[0] == "conv")
@@ -446,14 +446,14 @@ def _run_plan_int8(xq, ws, plan, l0):
             wi += 5
             if pi + 1 < len(plan) and plan[pi + 1][0] == "pool":
                 x = y  # pool on f32, requant after (see _conv_int8)
-            elif ci < n_conv:
+            elif ci < n_conv or requant_last:
                 x = _requant(y)
             else:
                 x = y  # last layer: f32 out (dequant scales folded)
         elif op[0] == "pool":
             x = _pool2(x)  # f32
             l //= 2
-            if ci < n_conv:
+            if ci < n_conv or requant_last:
                 x = _requant(x)
         elif op[0] == "mean":
             x = _mean_rows(x, l)
@@ -461,7 +461,8 @@ def _run_plan_int8(xq, ws, plan, l0):
     return x
 
 
-def _backbone_int8_kernel(x_ref, *refs, l0, with_embed=False):
+def _backbone_int8_kernel(x_ref, *refs, l0, with_embed=False,
+                          requant_last=False):
     if with_embed:
         out_ref, z_ref = refs[-2], refs[-1]
         ws = refs[:-4]
@@ -469,9 +470,11 @@ def _backbone_int8_kernel(x_ref, *refs, l0, with_embed=False):
     else:
         out_ref = refs[-1]
         ws = refs[:-1]
-    out = _run_plan_int8(x_ref[:], ws, _BACKBONE_PLAN, l0)
+    out = _run_plan_int8(x_ref[:], ws, _BACKBONE_PLAN, l0,
+                         requant_last=requant_last)
     out_ref[:] = out.astype(out_ref.dtype)
     if with_embed:
+        # int8 out: the feats scale is pre-folded into the embed weight
         _embed_epilogue(out, ws_embed, z_ref, jnp.bfloat16)
 
 
@@ -506,7 +509,8 @@ def fused_backbone_int8(act1_q, weights, l: int = 56, tile: int = 64,
     l4 = l // 4
     with_embed = embed_weights is not None
     kernel = functools.partial(_backbone_int8_kernel, l0=l,
-                               with_embed=with_embed)
+                               with_embed=with_embed,
+                               requant_last=out_dtype == jnp.int8)
     weights = list(weights) + (list(embed_weights) if with_embed else [])
     out_shape = jax.ShapeDtypeStruct((n_pad * l4, 256), out_dtype)
     out_spec = pl.BlockSpec((tile * l4, 256), lambda i: (i, 0),

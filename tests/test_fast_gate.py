@@ -215,3 +215,41 @@ def test_serve_step_v3_int8():
             # int8 noise on near-zero untrained logits; the real accuracy
             # gate is the trained-detector AP check (validate_int8_ap)
             assert corr > 0.96, (i, k, corr)
+
+
+def test_serve_step_v3_int8_carry():
+    """int8 end-to-end (int8c): template carried in int8 through the gate;
+    outputs stay close to the f32 module path on trained-scale features."""
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import (
+        make_stream_step, make_serve_step_v3,
+    )
+
+    num_pts = 64
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=16,
+                         padding_val=29.99, area_mode=True,
+                         gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    cur = jnp.zeros((1, num_pts))
+    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+    rng = np.random.default_rng(1)
+    calib = rng.uniform(0.5, 20.0, (2, num_pts)).astype(np.float32)
+
+    ref_step = make_stream_step(model, cutout_kwargs, num_pts=num_pts,
+                                donate_template=False, with_nms=False)
+    v3 = make_serve_step_v3(model, variables, cutout_kwargs,
+                            calib_scans=calib, num_pts=num_pts,
+                            with_nms=False, precision="int8c", tile=16,
+                            interpret=True)
+    tmpl, carry = None, None
+    for i in range(3):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (2, num_pts)), jnp.float32)
+        tmpl, ref = ref_step(variables, tmpl, scan)
+        carry, got = v3(carry, scan)
+        assert carry["template"].dtype == jnp.int8
+        for k in ("pred_cls", "pred_flow"):
+            a, b_ = np.asarray(got[k], np.float32), np.asarray(ref[k])
+            corr = np.corrcoef(a.ravel(), b_.ravel())[0, 1]
+            assert corr > 0.95, (i, k, corr)
