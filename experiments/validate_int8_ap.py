@@ -121,15 +121,17 @@ def main():
           flush=True)
 
     calib = frames.scans[:8]
-    for prec in ("bf16", "int8"):
+    # bf16 at tile=64: the f32-intermediate bf16 kernel is over the scoped
+    # VMEM limit at tile=128; the int8 kernels fit
+    for prec, tile in (("bf16", 64), ("int8", 128), ("int8c", 128)):
         step = make_serve_step_v3(model, variables, CUTOUT_KW,
                                   calib_scans=calib, precision=prec,
-                                  tile=128)
+                                  tile=tile)
         ap = ap_from_step(step, False, variables, frames)
         print(json.dumps({"path": f"v3 {prec}", "ap": round(ap, 4)}),
               flush=True)
-        if prec == "int8":
-            assert ap > ap_f32 - 0.02, (ap, ap_f32)
+        if prec.startswith("int8"):
+            assert ap > ap_f32 - 0.02, (prec, ap, ap_f32)
     print("ACCURACY GATE PASSED")
 
 

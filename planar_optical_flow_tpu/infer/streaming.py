@@ -387,8 +387,8 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                        num_pts: int = 450, nms_min_dist: float = 0.5,
                        with_nms: bool = True, nms_top_k: int | None = 64,
                        precision: str = "bf16",
-                       conv_mode: str = "3mm", tile: int = 64,
-                       interpret: bool = False):
+                       conv_mode: str = "3mm", int8_conv_mode: str = "cat",
+                       tile: int = 64, interpret: bool = False):
     """Flat-layout fused serving step (fastest path, see BASELINE.md).
 
     Pipeline, ONE program per scan, every big tensor flat ``(N*, C)`` so no
@@ -490,6 +490,7 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         bb_q, bb_in_scale, feat_scale = cs.quantize_stack_int8(
             bb_blocks[1:], act1_c.reshape(n0, ct_len, 64)[:4096], ct_len,
             pool_after={1, 4}, dequant_last=not (precision == "int8c"),
+            concat_taps=int8_conv_mode == "cat",
         )
         # head calibration on a realistic (post-gate) template: run two f32
         # reference steps
@@ -502,6 +503,7 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                      + _block_params(hd_vars, "block4", 2))
         hd_q, hd_in_scale, _ = cs.quantize_stack_int8(
             hd_blocks, tmpl_np[:4096], l4, pool_after={2},
+            concat_taps=int8_conv_mode == "cat",
         )
         if int8_carry:
             feat_scale = float(feat_scale)
@@ -522,23 +524,26 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         into the backbone kernel's epilogue. N = B * p_pad."""
         b = scan.shape[0]
         flat = encode(scan, b)
-        act1 = cs.backbone_layer1(flat, layer1_w)  # (N*L, 64) bf16
         if use_int8:
-            act1_q = cs.quantize_int8(act1.astype(jnp.float32), bb_in_scale)
+            # layer 1 emits int8 directly (requant folded into the same
+            # producer — no separate quantize pass, 1/4 the HBM write)
+            act1_q = cs.backbone_layer1(flat, layer1_w,
+                                        out_scale=bb_in_scale)
             if int8_carry:
                 # int8 feats; the embed weight absorbs the feats scale
                 feats, zx = cs.fused_backbone_int8(
                     act1_q, bb_q, l=ct_len, tile=tile, out_dtype=jnp.int8,
                     embed_weights=(embed_w[0] * feat_scale, embed_w[1]),
-                    interpret=interpret,
+                    conv_mode=int8_conv_mode, interpret=interpret,
                 )
             else:
                 feats, zx = cs.fused_backbone_int8(
                     act1_q, bb_q, l=ct_len, tile=tile,
-                    out_dtype=jnp.bfloat16,
+                    out_dtype=jnp.bfloat16, conv_mode=int8_conv_mode,
                     embed_weights=embed_w, interpret=interpret,
                 )  # (N*L4, 256) bf16
         else:
+            act1 = cs.backbone_layer1(flat, layer1_w)  # (N*L, 64) bf16
             feats, zx = cs.fused_backbone_v2(
                 act1, bb_tail_w, l=ct_len, tile=tile,
                 compute_dtype=jnp.bfloat16, conv_mode=conv_mode,
@@ -555,12 +560,13 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
             # template already int8 at the head's input scale
             return cs.fused_head_int8(
                 flat, hd_q, hd_head_w, num_classes=num_classes, l4=l4,
-                tile=tile, interpret=interpret,
+                tile=tile, conv_mode=int8_conv_mode, interpret=interpret,
             )
         if use_int8:
             tq = cs.quantize_int8(flat.astype(jnp.float32), hd_in_scale)
             return cs.fused_head_int8(
                 tq, hd_q, hd_head_w, num_classes=num_classes, l4=l4,
+                conv_mode=int8_conv_mode,
                 tile=tile, interpret=interpret,
             )
         return cs.fused_head_v2(

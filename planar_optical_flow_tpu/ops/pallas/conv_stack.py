@@ -93,11 +93,16 @@ def head_stack_weights(variables):
     return prepare_stack_weights(blocks), heads
 
 
-def backbone_layer1(cutouts, layer1_weights, compute_dtype=jnp.bfloat16):
+def backbone_layer1(cutouts, layer1_weights, compute_dtype=jnp.bfloat16,
+                    out_scale=None):
     """Backbone layer 1 in XLA: (N, L) cutouts -> (N*L, 64) flat activation.
 
     Cin=1 has no MXU-friendly in-kernel form; this broadcast-FMA + flatten
     costs one (N*L, 64) write and fuses with the cutout producer.
+
+    With ``out_scale`` the requant for the int8 stack is folded into the
+    same producer (int8 output, one third/quarter the HBM write of
+    bf16/f32 and no separate quantize pass).
     """
     n, l = cutouts.shape
     w, b = layer1_weights  # (3, 1, 64), (64,)
@@ -109,7 +114,11 @@ def backbone_layer1(cutouts, layer1_weights, compute_dtype=jnp.bfloat16):
     acc = (left[..., None] * wc[0] + x[..., None] * wc[1]
            + right[..., None] * wc[2]) + b
     act = jnp.where(acc > 0, acc, _LEAKY_SLOPE * acc)
-    return act.reshape(n * l, 64).astype(compute_dtype)
+    flat = act.reshape(n * l, 64)
+    if out_scale is not None:
+        return jnp.clip(jnp.rint(flat / out_scale), -127, 127
+                        ).astype(jnp.int8)
+    return flat.astype(compute_dtype)
 
 
 def _leaky(x):
@@ -359,12 +368,15 @@ def fused_head_v2(feats_flat, conv_weights, head_weights,
 
 
 def quantize_stack_int8(block_param_list, sample, l0, pool_after,
-                        in_scale=None, dequant_last=True):
+                        in_scale=None, dequant_last=True,
+                        concat_taps=False):
     """Folded f32 (w (3,Cin,Cout), b) list -> int8 kernel weights.
 
     ``sample``: (N, L, Cin) f32 representative input of the stack (POST
     layer-1 for the backbone). Returns (flat weight list [w0,w1,w2,seff,beff]
-    per layer, in_scale, out_scale-or-None).
+    per layer — or [wcat,seff,beff] with ``concat_taps`` for the
+    single-matmul ``conv_mode="cat"`` kernels — in_scale,
+    out_scale-or-None).
 
     Per layer i: q_{i+1} = clip(rint(leaky(acc_i32 * s_eff + b_eff))) with
     s_eff = s_in * w_scale / s_out and b_eff = b / s_out; the last layer
@@ -393,9 +405,12 @@ def quantize_stack_int8(block_param_list, sample, l0, pool_after,
         else:
             s_eff = s_in * ws / s_out
             b_eff = b / s_out
+        if concat_taps:
+            flat += [jnp.asarray(wq)]
+        else:
+            flat += [jnp.asarray(wq[:cin]), jnp.asarray(wq[cin:2 * cin]),
+                     jnp.asarray(wq[2 * cin:])]
         flat += [
-            jnp.asarray(wq[:cin]), jnp.asarray(wq[cin:2 * cin]),
-            jnp.asarray(wq[2 * cin:]),
             jnp.asarray(s_eff.astype(np.float32)),
             jnp.asarray(b_eff.astype(np.float32)),
         ]
@@ -432,7 +447,57 @@ def _requant(y):
     return jnp.clip(jnp.rint(y), -127.0, 127.0).astype(jnp.int8)
 
 
-def _run_plan_int8(xq, ws, plan, l0, requant_last=False):
+def _byte(k):
+    """0xFF in byte lane k as an int32 (two's-complement for k=3)."""
+    return int(np.array(0xFF << (8 * k), np.uint32).view(np.int32))
+
+
+def _shift_rows_int8(xq, l):
+    """Row shifts of an int8 (rows, C) activation with cutout-boundary
+    zeroing: (left[r] = x[r-1], right[r] = x[r+1]).
+
+    Mosaic's sublane rotate is 32-bit only, so the int8 rows are bitcast to
+    (rows//4, C) int32 — packing 4 consecutive rows per element,
+    little-endian (byte 0 = row 4s; validated on v5e, probe_r2i) — and the
+    by-one-row shift becomes two int shifts + or + a 32-bit sublane roll.
+    Boundary rows (first/last of each length-``l`` cutout) are zeroed with
+    static per-byte masks. Requires rows % 4 == 0.
+    """
+    rows = xq.shape[0]
+    xp = pltpu.bitcast(xq, jnp.int32)  # (rows//4, C)
+    r4 = rows // 4
+    prev = pltpu.roll(xp, 1, axis=0)
+    down = (xp << 8) | ((prev >> 24) & 0xFF)          # down[r] = x[r-1]
+    nxt = pltpu.roll(xp, r4 - 1, axis=0)
+    up = ((xp >> 8) & 0x00FFFFFF) | (nxt << 24)       # up[r] = x[r+1]
+
+    s4 = jax.lax.broadcasted_iota(jnp.int32, (r4, 1), 0) * 4
+    keep_down = jnp.full((r4, 1), -1, jnp.int32)
+    keep_up = jnp.full((r4, 1), -1, jnp.int32)
+    for k in range(4):
+        pos = jax.lax.rem(s4 + k, l)
+        keep_down = jnp.where(pos == 0, keep_down & ~_byte(k), keep_down)
+        keep_up = jnp.where(pos == l - 1, keep_up & ~_byte(k), keep_up)
+    left = pltpu.bitcast(down & keep_down, jnp.int8)
+    right = pltpu.bitcast(up & keep_up, jnp.int8)
+    return left, right
+
+
+def _conv_int8_cat(xq, wcat, s_eff, b_eff, l):
+    """k=3 SAME conv on int8 (rows, Cin) as ONE matmul at 3x contraction:
+    taps realized by int8 row shifts (:func:`_shift_rows_int8`) and
+    lane-concatenation. Bit-identical accumulation to :func:`_conv_int8`
+    (same int32 sums, different tap realization). Returns f32 post-leaky.
+    """
+    left, right = _shift_rows_int8(xq, l)
+    xcat = jnp.concatenate([left, xq, right], axis=1)  # (rows, 3Cin)
+    acc = jax.lax.dot_general(xcat, wcat, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s_eff + b_eff
+    return jnp.where(y > 0, y, _LEAKY_SLOPE * y)
+
+
+def _run_plan_int8(xq, ws, plan, l0, requant_last=False, conv_mode="3mm"):
     l = l0
     wi = 0
     n_conv = sum(1 for op in plan if op[0] == "conv")
@@ -441,9 +506,14 @@ def _run_plan_int8(xq, ws, plan, l0, requant_last=False):
     for pi, op in enumerate(plan):
         if op[0] == "conv":
             ci += 1
-            y = _conv_int8(x, ws[wi][:], ws[wi + 1][:], ws[wi + 2][:],
-                           ws[wi + 3][:], ws[wi + 4][:], l)
-            wi += 5
+            if conv_mode == "cat":
+                y = _conv_int8_cat(x, ws[wi][:], ws[wi + 1][:],
+                                   ws[wi + 2][:], l)
+                wi += 3
+            else:
+                y = _conv_int8(x, ws[wi][:], ws[wi + 1][:], ws[wi + 2][:],
+                               ws[wi + 3][:], ws[wi + 4][:], l)
+                wi += 5
             if pi + 1 < len(plan) and plan[pi + 1][0] == "pool":
                 x = y  # pool on f32, requant after (see _conv_int8)
             elif ci < n_conv or requant_last:
@@ -462,7 +532,7 @@ def _run_plan_int8(xq, ws, plan, l0, requant_last=False):
 
 
 def _backbone_int8_kernel(x_ref, *refs, l0, with_embed=False,
-                          requant_last=False):
+                          requant_last=False, conv_mode="3mm"):
     if with_embed:
         out_ref, z_ref = refs[-2], refs[-1]
         ws = refs[:-4]
@@ -471,18 +541,18 @@ def _backbone_int8_kernel(x_ref, *refs, l0, with_embed=False,
         out_ref = refs[-1]
         ws = refs[:-1]
     out = _run_plan_int8(x_ref[:], ws, _BACKBONE_PLAN, l0,
-                         requant_last=requant_last)
+                         requant_last=requant_last, conv_mode=conv_mode)
     out_ref[:] = out.astype(out_ref.dtype)
     if with_embed:
         # int8 out: the feats scale is pre-folded into the embed weight
         _embed_epilogue(out, ws_embed, z_ref, jnp.bfloat16)
 
 
-def _head_int8_kernel(x_ref, *refs, l0, compute_dtype):
+def _head_int8_kernel(x_ref, *refs, l0, compute_dtype, conv_mode="3mm"):
     cls_ref, reg_ref = refs[-2], refs[-1]
     ws = refs[:-6]
     wc, bc, wr, br = (r[:] for r in refs[-6:-2])
-    x = _run_plan_int8(x_ref[:], ws, _HEAD_PLAN, l0)
+    x = _run_plan_int8(x_ref[:], ws, _HEAD_PLAN, l0, conv_mode=conv_mode)
     xc = x.astype(compute_dtype)
     dn = (((1,), (0,)), ((), ()))
     cls_ref[:] = (jax.lax.dot_general(
@@ -494,13 +564,17 @@ def _head_int8_kernel(x_ref, *refs, l0, compute_dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("l", "tile", "out_dtype",
-                                             "interpret"))
+                                             "conv_mode", "interpret"))
 def fused_backbone_int8(act1_q, weights, l: int = 56, tile: int = 64,
                         out_dtype=jnp.bfloat16, embed_weights=None,
-                        interpret: bool = False):
+                        conv_mode: str = "3mm", interpret: bool = False):
     """int8 layer-1 activation (N*L, 64) -> (N*L//4, 256) flat features
     (dequantized to ``out_dtype`` by the last layer's epilogue). With
-    ``embed_weights``, also emits zx (N, 128); returns (feats, zx)."""
+    ``embed_weights``, also emits zx (N, 128); returns (feats, zx).
+
+    ``conv_mode="cat"`` (weights from ``quantize_stack_int8(...,
+    concat_taps=True)``): taps as int8 row shifts + ONE matmul per layer at
+    3x contraction depth; bit-identical results to "3mm"."""
     nl, c1 = act1_q.shape
     n = nl // l
     n_pad = _pad_rows(n, tile)
@@ -510,7 +584,8 @@ def fused_backbone_int8(act1_q, weights, l: int = 56, tile: int = 64,
     with_embed = embed_weights is not None
     kernel = functools.partial(_backbone_int8_kernel, l0=l,
                                with_embed=with_embed,
-                               requant_last=out_dtype == jnp.int8)
+                               requant_last=out_dtype == jnp.int8,
+                               conv_mode=conv_mode)
     weights = list(weights) + (list(embed_weights) if with_embed else [])
     out_shape = jax.ShapeDtypeStruct((n_pad * l4, 256), out_dtype)
     out_spec = pl.BlockSpec((tile * l4, 256), lambda i: (i, 0),
@@ -539,11 +614,15 @@ def fused_backbone_int8(act1_q, weights, l: int = 56, tile: int = 64,
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes", "l4", "tile",
-                                             "compute_dtype", "interpret"))
+                                             "compute_dtype", "conv_mode",
+                                             "interpret"))
 def fused_head_int8(feats_q, conv_weights, head_weights, num_classes: int = 1,
                     l4: int = 14, tile: int = 64,
-                    compute_dtype=jnp.bfloat16, interpret: bool = False):
-    """int8 flat (N*L4, 256) features -> f32 (cls, reg)."""
+                    compute_dtype=jnp.bfloat16, conv_mode: str = "3mm",
+                    interpret: bool = False):
+    """int8 flat (N*L4, 256) features -> f32 (cls, reg).
+
+    ``conv_mode="cat"``: see :func:`fused_backbone_int8`."""
     nl, c = feats_q.shape
     n = nl // l4
     n_pad = _pad_rows(n, tile)
@@ -551,7 +630,8 @@ def fused_head_int8(feats_q, conv_weights, head_weights, num_classes: int = 1,
     grid = (n_pad // tile,)
     weights = list(conv_weights) + list(head_weights)
     kernel = functools.partial(_head_int8_kernel, l0=l4,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               conv_mode=conv_mode)
     cls, reg = pl.pallas_call(
         kernel,
         out_shape=(

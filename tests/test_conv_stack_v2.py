@@ -102,6 +102,60 @@ def test_backbone_int8_close_to_f32(rng):
     assert corr > 0.99, corr
 
 
+def test_backbone_int8_cat_matches_3mm(rng):
+    """conv_mode="cat" (int8 row shifts via int32 bitcast byte-shifts +
+    single concat-tap matmul) is bit-identical to the 3-matmul taps."""
+    from planar_optical_flow_tpu.ops.pallas.fused_drow import _block_params
+
+    bb = DrowBackbone()
+    n, l = 64, 24
+    x = jnp.asarray(rng.normal(size=(n, l, 1)).astype(np.float32))
+    v = bb.init(KEY, x, train=False)
+    layer1, _ = cs.backbone_stack_weights(v)
+    blocks = (_block_params(v, "block1", 3) + _block_params(v, "block2", 3))
+    act1 = np.asarray(
+        cs.backbone_layer1(x[..., 0], layer1, compute_dtype=jnp.float32)
+    )
+    kw = dict(pool_after={1, 4})
+    wq3, in_scale, _ = cs.quantize_stack_int8(
+        blocks[1:], act1.reshape(n, l, 64), l, **kw)
+    wqc, _, _ = cs.quantize_stack_int8(
+        blocks[1:], act1.reshape(n, l, 64), l, concat_taps=True, **kw)
+    # layer1's folded requant path must agree with quantizing its f32 out
+    act1_q = cs.backbone_layer1(x[..., 0], layer1, out_scale=in_scale)
+    np.testing.assert_array_equal(np.asarray(act1_q),
+                                  _quantize_inputs(act1, in_scale))
+    o3 = cs.fused_backbone_int8(act1_q, wq3, l=l, tile=16,
+                                out_dtype=jnp.float32, interpret=True)
+    oc = cs.fused_backbone_int8(act1_q, wqc, l=l, tile=16,
+                                out_dtype=jnp.float32, conv_mode="cat",
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(o3), np.asarray(oc))
+
+
+def test_head_int8_cat_matches_3mm(rng):
+    from planar_optical_flow_tpu.ops.pallas.fused_drow import _block_params
+
+    hd = DrowHead(num_classes=1)
+    n, l4 = 48, 6
+    x = rng.normal(size=(n, l4, 256)).astype(np.float32)
+    v = hd.init(KEY, jnp.asarray(x), train=False)
+    blocks = (_block_params(v, "block3", 3) + _block_params(v, "block4", 2))
+    wq3, in_scale, _ = cs.quantize_stack_int8(blocks, x, l4, pool_after={2})
+    wqc, _, _ = cs.quantize_stack_int8(blocks, x, l4, pool_after={2},
+                                       concat_taps=True)
+    _, head_w = cs.head_stack_weights(v)
+    xq = jnp.asarray(_quantize_inputs(x, in_scale)).reshape(n * l4, 256)
+    c3, r3 = cs.fused_head_int8(xq, wq3, head_w, num_classes=1, l4=l4,
+                                tile=16, compute_dtype=jnp.float32,
+                                interpret=True)
+    cc, rc = cs.fused_head_int8(xq, wqc, head_w, num_classes=1, l4=l4,
+                                tile=16, compute_dtype=jnp.float32,
+                                conv_mode="cat", interpret=True)
+    np.testing.assert_array_equal(np.asarray(c3), np.asarray(cc))
+    np.testing.assert_array_equal(np.asarray(r3), np.asarray(rc))
+
+
 def test_head_int8_close_to_f32(rng):
     from planar_optical_flow_tpu.ops.pallas.fused_drow import _block_params
 
