@@ -49,16 +49,17 @@ def main():
     scan = jnp.asarray(rng.uniform(0.5, 25.0, (batch, num_pts)),
                        dtype=jnp.float32)
 
-    # BENCH_PATH: "v3-int8" (default; fastest, accuracy-gated via
-    # experiments/validate_int8_ap.py), "v3-bf16", "int8" (round-1 XLA int8),
-    # or "stream" (round-1 module path)
-    path = os.environ.get("BENCH_PATH", "v3-int8")
+    # BENCH_PATH: "v3-int8c" (default; fastest: int8 end-to-end with the
+    # position-major kernels, accuracy-gated via
+    # experiments/validate_int8_ap.py), "v3-int8" (int8 convs, bf16 carry),
+    # "v3-bf16", "int8" (round-1 XLA int8), or "stream" (round-1 module path)
+    path = os.environ.get("BENCH_PATH", "v3-int8c")
     if os.environ.get("BENCH_INT8") == "1":  # round-1 A/B switch, kept
         path = "int8"
     if path.startswith("v3"):
         from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
 
-        prec = "int8" if path.endswith("int8") else "bf16"
+        prec = path[3:].lstrip("-") or "bf16"
         v3 = make_serve_step_v3(
             model, variables, cutout_kwargs, calib_scans=np.asarray(scan[:8]),
             num_pts=num_pts, precision=prec, tile=128,

@@ -401,6 +401,128 @@ def gate_bootstrap(params: GateParams, x):
 # ---------------------------------------------------------------------------
 
 
+def _gate_int8_pm_kernel(zx_ref, zt_ref, x_ref, t_ref,
+                         out_ref, z_ref, sim_ref, attn_scr, *, hw, alpha,
+                         ct, ct_valid, s_x, s_t, s_out):
+    """Position-major int8 gate: grid (stream, position). At p == 0 the
+    banded attention, z carry and sim_band are computed from the (ct, 128)
+    embeddings and the dense banded attention is cached in VMEM scratch;
+    every position then mixes its (ct, 256) template slice with ONE int8
+    MXU matmul. Same math as :func:`_gate_int8_kernel` on a different
+    template layout (no (ct, D) row blocks — the D axis is the grid)."""
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        zx = zx_ref[0].astype(jnp.float32)  # (ct, 128)
+        zt = zt_ref[0].astype(jnp.float32)
+        ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
+        et = jnp.where(zt > 0, zt, _LEAKY_SLOPE * zt)
+
+        cols = []
+        for o in range(-hw, hw + 1):
+            sh = pltpu.roll(et, (-o) % ct, axis=0) if o else et
+            cols.append(jnp.sum(ex * sh, axis=-1, keepdims=True))
+        s = jnp.concatenate(cols, axis=1)  # (ct, 2hw+1)
+
+        ri = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 0)
+        oi = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 1) - hw
+        valid = ((ri + oi >= 0) & (ri + oi < ct_valid) & (ri < ct_valid))
+        masked = jnp.where(valid, s, -1e10)
+        m = jnp.max(masked, axis=1, keepdims=True)
+        e = jnp.exp(masked - m)
+        e = jnp.where(valid, e, 0.0)
+        attn = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-20)
+
+        rr = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
+        diag = cc - rr
+        attn_d = jnp.zeros((ct, ct), jnp.float32)
+        for k, o in enumerate(range(-hw, hw + 1)):
+            attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
+        attn_scr[:] = jnp.clip(jnp.rint(attn_d * 127.0), -127, 127
+                               ).astype(jnp.int8)
+
+        zmix = jax.lax.dot_general(
+            attn_d.astype(jnp.bfloat16), zt_ref[0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        z_ref[0] = (alpha * zx + (1.0 - alpha) * zmix).astype(z_ref.dtype)
+        c0 = jnp.sum(ex * et[0:1], axis=-1, keepdims=True)
+        c1 = jnp.sum(ex * et[ct_valid - 1:ct_valid], axis=-1, keepdims=True)
+        clamped = jnp.where(ri + oi < 0, c0, c1)
+        sim_ref[0] = jnp.where(valid, s, clamped).astype(sim_ref.dtype)
+
+    t = t_ref[:].reshape(ct, -1)  # (1,T,1,tile,C) -> (ct, C), free merge
+    mixed32 = jax.lax.dot_general(
+        attn_scr[:], t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    mixed = mixed32.astype(jnp.float32) * (s_t / 127.0)
+    x = x_ref[:].reshape(ct, -1).astype(jnp.float32) * s_x
+    new_t = alpha * x + (1.0 - alpha) * mixed
+    out_ref[:] = jnp.clip(jnp.rint(new_t / s_out), -127, 127
+                          ).astype(jnp.int8).reshape(out_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("ct", "tile", "l4", "alpha",
+                                             "window_size", "ct_valid",
+                                             "s_x", "s_t", "s_out",
+                                             "interpret"))
+def gate_fused_int8_pm(zx, zt, x_q, t_q, ct: int, tile: int, l4: int,
+                       alpha: float, window_size: int, s_x: float,
+                       s_t: float, s_out: float, ct_valid: int | None = None,
+                       interpret: bool = False):
+    """int8-carry fused gate on POSITION-MAJOR flat arrays.
+
+    zx, zt: (S*ct, 128) embeddings in (stream, cutout) order; x_q, t_q:
+    (S*T*l4*tile, C) int8 in (stream, tile-block, position, cutout) order
+    with T = ct // tile (the layout emitted by
+    ``fused_backbone_int8_pm``). Returns (new_template int8 same layout,
+    new_z, sim_band (S*ct, window) f32).
+    """
+    n, c = x_q.shape
+    zdim = zx.shape[-1]
+    t_blocks = ct // tile
+    s_streams = n // (t_blocks * l4 * tile)
+    hw = window_size // 2
+    win = 2 * hw + 1
+    zx5 = zx.reshape(s_streams, ct, zdim)
+    zt5 = zt.reshape(s_streams, ct, zdim)
+    x5 = x_q.reshape(s_streams, t_blocks, l4, tile, c)
+    t5 = t_q.reshape(s_streams, t_blocks, l4, tile, c)
+    kernel = functools.partial(
+        _gate_int8_pm_kernel, hw=hw, alpha=alpha, ct=ct,
+        ct_valid=ct_valid or ct, s_x=float(s_x), s_t=float(s_t),
+        s_out=float(s_out),
+    )
+    zspec = pl.BlockSpec((1, ct, zdim), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, t_blocks, 1, tile, c),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    new_t, new_z, sim = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x5.shape, jnp.int8),
+            jax.ShapeDtypeStruct((s_streams, ct, zdim), zx.dtype),
+            jax.ShapeDtypeStruct((s_streams, ct, win), jnp.float32),
+        ),
+        grid=(s_streams, l4),
+        in_specs=[zspec, zspec, dspec, dspec],
+        out_specs=(
+            dspec,
+            zspec,
+            pl.BlockSpec((1, ct, win), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((ct, ct), jnp.int8)],
+        interpret=interpret,
+    )(zx5, zt5, x5, t5)
+    return (new_t.reshape(n, c), new_z.reshape(s_streams * ct, zdim),
+            sim.reshape(s_streams * ct, win))
+
+
 def _gate_int8_kernel(zx_ref, zt_ref, x_ref, t_ref,
                       out_ref, z_ref, sim_ref, attn_scr, *, hw, alpha, ct,
                       ct_valid, s_x, s_t, s_out):

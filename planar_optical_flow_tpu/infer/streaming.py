@@ -388,6 +388,7 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                        with_nms: bool = True, nms_top_k: int | None = 64,
                        precision: str = "bf16",
                        conv_mode: str = "3mm", int8_conv_mode: str = "cat",
+                       layout: str = "pm", pm_tile: int = 160,
                        tile: int = 64, interpret: bool = False):
     """Flat-layout fused serving step (fastest path, see BASELINE.md).
 
@@ -436,12 +437,25 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     ct_len = cutout_kwargs.get("num_cutout_pts", 48)
     l4 = ct_len // 4
     d_feat = l4 * 256
-    # run the pipeline at a sublane-aligned cutout count: Pallas blocks need
-    # the second-to-last dim divisible by 8, and with p_pad % 8 == 0 every
-    # flat (N*L4, 256) <-> (B, p_pad, D) reshape is a free bitcast (no
-    # physical padding). The 6 dead rows (450 -> 456) are masked in the gate
-    # and sliced off the outputs.
-    p_pad = ((num_pts + 7) // 8) * 8
+    # int8c + "pm": the conv stacks and gate run on POSITION-MAJOR rows
+    # (row = position * tile + cutout within tiles of ``pm_tile`` cutouts)
+    # so the k=3 taps are vreg-aligned slice-concats instead of int8
+    # byte-shifts — ~2x faster backbone, ~1.2x head (probe_r2l). Cutouts
+    # are padded to a tile multiple (450 -> 480 at pm_tile=160).
+    pm = precision == "int8c" and layout == "pm"
+    if pm:
+        if pm_tile % 32:
+            raise ValueError("pm_tile must be a multiple of 32")
+        p_pad = -(-num_pts // pm_tile) * pm_tile
+        t_blocks = p_pad // pm_tile
+        int8_conv_mode = "cat"  # pm kernels are concat-tap only
+    else:
+        # sublane-aligned cutout count: Pallas blocks need the
+        # second-to-last dim divisible by 8, and with p_pad % 8 == 0 every
+        # flat (N*L4, 256) <-> (B, p_pad, D) reshape is a free bitcast (no
+        # physical padding). The 6 dead rows (450 -> 456) are masked in the
+        # gate and sliced off the outputs.
+        p_pad = ((num_pts + 7) // 8) * 8
 
     # the pallas cutout kernel covers the serving config (fixed geometry,
     # stride 1); anything else falls back to the XLA matmul-sampling path
@@ -529,6 +543,17 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
             # producer — no separate quantize pass, 1/4 the HBM write)
             act1_q = cs.backbone_layer1(flat, layer1_w,
                                         out_scale=bb_in_scale)
+            if pm:
+                # rearrange rows (ct, l) -> (l, ct) within each tile; the
+                # transpose fuses into the layer-1 producer's write
+                act1_pm = (act1_q.reshape(b, t_blocks, pm_tile, ct_len, 64)
+                           .transpose(0, 1, 3, 2, 4).reshape(-1, 64))
+                return cs.fused_backbone_int8_pm(
+                    act1_pm, bb_q, l=ct_len, tile=pm_tile,
+                    out_dtype=jnp.int8,
+                    embed_weights=(embed_w[0] * feat_scale, embed_w[1]),
+                    interpret=interpret,
+                )  # feats (B*T*l4*tile, 256) int8 pm rows, zx (N, 128)
             if int8_carry:
                 # int8 feats; the embed weight absorbs the feats scale
                 feats, zx = cs.fused_backbone_int8(
@@ -556,6 +581,12 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
 
     def head(template_flat):
         flat = template_flat.reshape(-1, 256)  # (N*L4, 256) row-major
+        if pm:
+            # pm template rows; cls/reg come back in (stream, cutout) order
+            return cs.fused_head_int8_pm(
+                flat, hd_q, hd_head_w, num_classes=num_classes, l4=l4,
+                tile=pm_tile, interpret=interpret,
+            )
         if int8_carry:
             # template already int8 at the head's input scale
             return cs.fused_head_int8(
@@ -578,7 +609,26 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     def step(carry, scan):
         b = scan.shape[0]
         feats, zx = backbone(scan)                   # (N, D), (N, 128)
-        if int8_carry:
+        if pm:
+            gate_kw = dict(
+                ct=p_pad, tile=pm_tile, l4=l4, ct_valid=num_pts,
+                alpha=gate_params.alpha,
+                window_size=gate_params.window_size, s_x=feat_scale,
+                s_out=tmpl_scale, interpret=interpret,
+            )
+            if carry is None:
+                template = jnp.clip(
+                    jnp.rint(feats.astype(jnp.float32)
+                             * (feat_scale / tmpl_scale)),
+                    -127, 127).astype(jnp.int8)
+                z = zx
+                _, _, sim = fg.gate_fused_int8_pm(
+                    zx, zx, feats, feats, s_t=feat_scale, **gate_kw)
+            else:
+                template, z, sim = fg.gate_fused_int8_pm(
+                    zx, carry["z"], feats, carry["template"],
+                    s_t=tmpl_scale, **gate_kw)
+        elif int8_carry:
             if carry is None:
                 # bootstrap: template = feats, rescaled to the carry scale
                 template = jnp.clip(

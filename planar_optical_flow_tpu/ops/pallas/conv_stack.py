@@ -531,6 +531,208 @@ def _run_plan_int8(xq, ws, plan, l0, requant_last=False, conv_mode="3mm"):
     return x
 
 
+# ---------------------------------------------------------------------------
+# position-major (pm) int8 kernels. Rows within a block are ordered
+# (position, cutout): row = p * tile + k for a tile of ``tile`` cutouts.
+# The k=3 taps then shift by WHOLE-TILE row offsets — with tile % 32 == 0
+# an int8 slice/concat at tile-row offsets moves vreg-aligned data only
+# (no byte shuffles, no boundary masks: the zero rows fall out of the
+# concat) — vs ~4 ms of byte-shift work per B=128 step in the cutout-major
+# "cat" kernels. Pools/means stay free row-major reshapes because position
+# pairs are adjacent row groups.
+# ---------------------------------------------------------------------------
+
+
+def _taps_pm(x, tile):
+    """left[r] = x[r - tile] (previous position), right[r] = x[r + tile];
+    first/last positions zero-padded. Aligned slice-concat, any dtype."""
+    z = jnp.zeros_like(x[:tile])
+    left = jnp.concatenate([z, x[:-tile]], axis=0)
+    right = jnp.concatenate([x[tile:], z], axis=0)
+    return left, right
+
+
+def _conv_int8_pm(xq, wcat, s_eff, b_eff, tile):
+    """k=3 SAME conv on position-major int8 (l*tile, Cin): one concat-tap
+    matmul; same int32 accumulation as :func:`_conv_int8_cat`."""
+    left, right = _taps_pm(xq, tile)
+    xcat = jnp.concatenate([left, xq, right], axis=1)
+    acc = jax.lax.dot_general(xcat, wcat, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s_eff + b_eff
+    return jnp.where(y > 0, y, _LEAKY_SLOPE * y)
+
+
+def _pool2_pm(x, tile):
+    """Max-pool/2 over positions: position pairs are adjacent tile-row
+    groups, so (l*tile, C) -> (l/2*tile, C) via one free reshape."""
+    rows, c = x.shape
+    y = x.reshape(rows // (2 * tile), 2 * tile * c)
+    return jnp.maximum(y[:, :tile * c], y[:, tile * c:]).reshape(
+        rows // 2, c)
+
+
+def _mean_rows_pm(x, tile, l):
+    """Mean over the l positions: (l*tile, C) -> (tile, C). Sequential
+    accumulation in position order — bit-identical to :func:`_mean_rows`."""
+    rows, c = x.shape
+    acc = x[:tile]
+    for p in range(1, l):
+        acc = acc + x[p * tile:(p + 1) * tile]
+    return acc / l
+
+
+def _run_plan_int8_pm(xq, ws, plan, l0, tile, requant_last=False):
+    l = l0
+    wi = 0
+    n_conv = sum(1 for op in plan if op[0] == "conv")
+    ci = 0
+    x = xq
+    for pi, op in enumerate(plan):
+        if op[0] == "conv":
+            ci += 1
+            y = _conv_int8_pm(x, ws[wi][:], ws[wi + 1][:], ws[wi + 2][:],
+                              tile)
+            wi += 3
+            if pi + 1 < len(plan) and plan[pi + 1][0] == "pool":
+                x = y
+            elif ci < n_conv or requant_last:
+                x = _requant(y)
+            else:
+                x = y
+        elif op[0] == "pool":
+            x = _pool2_pm(x, tile)
+            l //= 2
+            if ci < n_conv or requant_last:
+                x = _requant(x)
+        elif op[0] == "mean":
+            x = _mean_rows_pm(x, tile, l)
+            l = 1
+    return x
+
+
+def _embed_epilogue_pm(out, ws_embed, z_ref, compute_dtype, tile, l4):
+    """Gate embed on position-major features: z (tile, 128) accumulated as
+    l4 per-position matmuls (the embed weight's (p, c)-flattened row order
+    is sliced statically)."""
+    we, be = ws_embed
+    acc = None
+    for p in range(l4):
+        xp = out[p * tile:(p + 1) * tile].astype(compute_dtype)
+        wp = we[p * 256:(p + 1) * 256].astype(compute_dtype)
+        t = jax.lax.dot_general(xp, wp, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    z_ref[:] = (acc + be[:]).astype(z_ref.dtype)
+
+
+def _backbone_int8_pm_kernel(x_ref, *refs, l0, tile, with_embed=False,
+                             requant_last=False):
+    if with_embed:
+        out_ref, z_ref = refs[-2], refs[-1]
+        ws = refs[:-4]
+        ws_embed = refs[-4:-2]
+    else:
+        out_ref = refs[-1]
+        ws = refs[:-1]
+    out = _run_plan_int8_pm(x_ref[:], ws, _BACKBONE_PLAN, l0, tile,
+                            requant_last=requant_last)
+    out_ref[:] = out.astype(out_ref.dtype)
+    if with_embed:
+        _embed_epilogue_pm(out, ws_embed, z_ref, jnp.bfloat16, tile, l0 // 4)
+
+
+@functools.partial(jax.jit, static_argnames=("l", "tile", "out_dtype",
+                                             "interpret"))
+def fused_backbone_int8_pm(act1_q, weights, l: int = 56, tile: int = 160,
+                           out_dtype=jnp.int8, embed_weights=None,
+                           interpret: bool = False):
+    """Position-major int8 backbone: flat (NB*l*tile, 64) layer-1 rows in
+    (block, position, cutout) order -> feats (NB*l4*tile, 256) in the same
+    order (+ zx (NB*tile, 128) with ``embed_weights``). NB must tile rows
+    exactly (pad streams to a tile multiple upstream); weights from
+    ``quantize_stack_int8(..., concat_taps=True)``; tile % 32 == 0."""
+    rows, c1 = act1_q.shape
+    nb = rows // (l * tile)
+    grid = (nb,)
+    l4 = l // 4
+    with_embed = embed_weights is not None
+    kernel = functools.partial(_backbone_int8_pm_kernel, l0=l, tile=tile,
+                               with_embed=with_embed,
+                               requant_last=out_dtype == jnp.int8)
+    weights = list(weights) + (list(embed_weights) if with_embed else [])
+    out_shape = jax.ShapeDtypeStruct((nb * l4 * tile, 256), out_dtype)
+    out_spec = pl.BlockSpec((l4 * tile, 256), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    if with_embed:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((nb * tile, 128), jnp.bfloat16))
+        out_spec = (out_spec,
+                    pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[pl.BlockSpec((l * tile, c1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM) for w in weights],
+        out_specs=out_spec,
+        interpret=interpret,
+    )(act1_q, *weights)
+
+
+def _head_int8_pm_kernel(x_ref, *refs, l0, tile, compute_dtype):
+    cls_ref, reg_ref = refs[-2], refs[-1]
+    ws = refs[:-6]
+    wc, bc, wr, br = (r[:] for r in refs[-6:-2])
+    x = _run_plan_int8_pm(x_ref[:], ws, _HEAD_PLAN, l0, tile)
+    xc = x.astype(compute_dtype)
+    dn = (((1,), (0,)), ((), ()))
+    cls_ref[:] = (jax.lax.dot_general(
+        xc, wc.astype(compute_dtype), dn,
+        preferred_element_type=jnp.float32) + bc).astype(cls_ref.dtype)
+    reg_ref[:] = (jax.lax.dot_general(
+        xc, wr.astype(compute_dtype), dn,
+        preferred_element_type=jnp.float32) + br).astype(reg_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "l4", "tile",
+                                             "compute_dtype", "interpret"))
+def fused_head_int8_pm(feats_q, conv_weights, head_weights,
+                       num_classes: int = 1, l4: int = 14, tile: int = 160,
+                       compute_dtype=jnp.bfloat16, interpret: bool = False):
+    """Position-major int8 head: flat (NB*l4*tile, 256) template rows in
+    (block, position, cutout) order -> cls/reg (NB*tile, .) in
+    (block, cutout) order."""
+    rows, c = feats_q.shape
+    nb = rows // (l4 * tile)
+    grid = (nb,)
+    weights = list(conv_weights) + list(head_weights)
+    kernel = functools.partial(_head_int8_pm_kernel, l0=l4, tile=tile,
+                               compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * tile, num_classes), jnp.float32),
+            jax.ShapeDtypeStruct((nb * tile, 2), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[pl.BlockSpec((l4 * tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM) for w in weights],
+        out_specs=(
+            pl.BlockSpec((tile, num_classes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(feats_q, *weights)
+
+
 def _backbone_int8_kernel(x_ref, *refs, l0, with_embed=False,
                           requant_last=False, conv_mode="3mm"):
     if with_embed:

@@ -178,3 +178,73 @@ def test_head_int8_close_to_f32(rng):
         corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
         assert corr > 0.98, corr
         assert np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6) < 0.25
+
+
+# ------------------------------------------------------- position-major
+
+def _cm_to_pm_act(x_cm, n, l, c):
+    """cm rows (n, l) -> pm rows (pos, cutout) for a single tile block."""
+    return jnp.asarray(x_cm).reshape(n, l, c).transpose(1, 0, 2).reshape(
+        n * l, c)
+
+
+def test_backbone_int8_pm_matches_cm(rng):
+    """Position-major backbone kernel is bit-identical to the cutout-major
+    concat-tap kernel (same int8 math, rows reordered)."""
+    from planar_optical_flow_tpu.ops.pallas.fused_drow import _block_params
+
+    bb = DrowBackbone()
+    n, l = 32, 24  # one pm tile block (tile % 32 == 0)
+    x = jnp.asarray(rng.normal(size=(n, l, 1)).astype(np.float32))
+    v = bb.init(KEY, x, train=False)
+    layer1, _ = cs.backbone_stack_weights(v)
+    blocks = (_block_params(v, "block1", 3) + _block_params(v, "block2", 3))
+    act1 = np.asarray(
+        cs.backbone_layer1(x[..., 0], layer1, compute_dtype=jnp.float32)
+    )
+    wq, in_scale, _ = cs.quantize_stack_int8(
+        blocks[1:], act1.reshape(n, l, 64), l, pool_after={1, 4},
+        concat_taps=True,
+    )
+    act1_q = cs.backbone_layer1(x[..., 0], layer1, out_scale=in_scale)
+    # synthetic embed weights exercise the zx epilogue on both layouts
+    ew = (jnp.asarray(rng.normal(size=((l // 4) * 256, 128)) * 0.05,
+                      jnp.float32),
+          jnp.asarray(rng.normal(size=(128,)) * 0.05, jnp.float32))
+    cm, zx_cm = cs.fused_backbone_int8(
+        act1_q, wq, l=l, tile=n, out_dtype=jnp.int8, conv_mode="cat",
+        embed_weights=ew, interpret=True)
+    pm, zx_pm = cs.fused_backbone_int8_pm(
+        _cm_to_pm_act(act1_q, n, l, 64), wq, l=l, tile=n,
+        out_dtype=jnp.int8, embed_weights=ew, interpret=True)
+    l4 = l // 4
+    pm_as_cm = np.asarray(pm).reshape(l4, n, 256).transpose(1, 0, 2)
+    np.testing.assert_array_equal(
+        pm_as_cm.reshape(n * l4, 256), np.asarray(cm))
+    np.testing.assert_allclose(np.asarray(zx_pm, np.float32),
+                               np.asarray(zx_cm, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_head_int8_pm_matches_cm(rng):
+    from planar_optical_flow_tpu.ops.pallas.fused_drow import _block_params
+
+    hd = DrowHead(num_classes=1)
+    n, l4 = 32, 6
+    x = rng.normal(size=(n, l4, 256)).astype(np.float32)
+    v = hd.init(KEY, jnp.asarray(x), train=False)
+    blocks = (_block_params(v, "block3", 3) + _block_params(v, "block4", 2))
+    wq, in_scale, _ = cs.quantize_stack_int8(blocks, x, l4, pool_after={2},
+                                             concat_taps=True)
+    _, head_w = cs.head_stack_weights(v)
+    xq = _quantize_inputs(x, in_scale)
+    c_cm, r_cm = cs.fused_head_int8(
+        jnp.asarray(xq).reshape(n * l4, 256), wq, head_w, num_classes=1,
+        l4=l4, tile=n, compute_dtype=jnp.float32, conv_mode="cat",
+        interpret=True)
+    c_pm, r_pm = cs.fused_head_int8_pm(
+        _cm_to_pm_act(xq.reshape(n * l4, 256), n, l4, 256), wq, head_w,
+        num_classes=1, l4=l4, tile=n, compute_dtype=jnp.float32,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(c_pm), np.asarray(c_cm))
+    np.testing.assert_array_equal(np.asarray(r_pm), np.asarray(r_cm))

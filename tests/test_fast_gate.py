@@ -253,3 +253,40 @@ def test_serve_step_v3_int8_carry():
             a, b_ = np.asarray(got[k], np.float32), np.asarray(ref[k])
             corr = np.corrcoef(a.ravel(), b_.ravel())[0, 1]
             assert corr > 0.95, (i, k, corr)
+
+
+def test_gate_int8_pm_matches_cm():
+    """Position-major int8 gate is bit-identical to the cutout-major int8
+    gate (same math, template rows reordered)."""
+    s_streams, ct, l4, zdim = 2, 32, 2, 128
+    tile, window = ct, 5
+    d = l4 * 256
+    rng = np.random.default_rng(3)
+    zx = jnp.asarray(rng.normal(size=(s_streams * ct, zdim)), jnp.float32)
+    zt = jnp.asarray(rng.normal(size=(s_streams * ct, zdim)), jnp.float32)
+    x_q = jnp.asarray(rng.integers(-127, 128, (s_streams * ct, d)), jnp.int8)
+    t_q = jnp.asarray(rng.integers(-127, 128, (s_streams * ct, d)), jnp.int8)
+    kw = dict(alpha=0.5, window_size=window, s_x=0.11, s_t=0.17, s_out=0.13,
+              ct_valid=28, interpret=True)
+    t_cm, z_cm, sim_cm = fg.gate_fused_int8(zx, zt, x_q, t_q, ct=ct, **kw)
+
+    def to_pm(a):
+        return (a.reshape(s_streams, ct, l4, 256).transpose(0, 2, 1, 3)
+                .reshape(-1, 256))
+
+    t_pm, z_pm, sim_pm = fg.gate_fused_int8_pm(
+        zx, zt, to_pm(x_q), to_pm(t_q), ct=ct, tile=tile, l4=l4, **kw)
+    t_pm_as_cm = (t_pm.reshape(s_streams, l4, ct, 256).transpose(0, 2, 1, 3)
+                  .reshape(s_streams * ct, d))
+    # the int8 requant may differ by 1 count on rint-boundary values (FMA
+    # fusion differences between the two kernels' f32 epilogues); the carry
+    # math itself is identical
+    diff = np.abs(np.asarray(t_pm_as_cm, np.int32)
+                  - np.asarray(t_cm, np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 5e-3, (diff > 0).mean()
+    np.testing.assert_allclose(np.asarray(z_pm, np.float32),
+                               np.asarray(z_cm, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(sim_pm), np.asarray(sim_cm),
+                               rtol=1e-5, atol=1e-5)
