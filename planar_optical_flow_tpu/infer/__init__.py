@@ -5,6 +5,8 @@ from planar_optical_flow_tpu.infer.streaming import (  # noqa: F401
     make_stream_step,
     make_fused_stream_step,
     make_sequence_processor,
+    make_serve_step_v3,
+    make_serve_sequence_processor,
     cast_variables,
     StreamingRunner,
 )

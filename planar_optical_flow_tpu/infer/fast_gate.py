@@ -517,6 +517,12 @@ def gate_fused_int8_pm(zx, zt, x_q, t_q, ct: int, tile: int, l4: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((ct, ct), jnp.int8)],
+        # write new_t over t_q and new_z over zt: the serving step donates
+        # the carry, and without the alias XLA inserts a full-template copy
+        # (220 MB at B=128, ~0.7 ms) to satisfy the donation
+        input_output_aliases={3: 0, 1: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(zx5, zt5, x5, t5)
     return (new_t.reshape(n, c), new_z.reshape(s_streams * ct, zdim),

@@ -442,8 +442,14 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     # so the k=3 taps are vreg-aligned slice-concats instead of int8
     # byte-shifts — ~2x faster backbone, ~1.2x head (probe_r2l). Cutouts
     # are padded to a tile multiple (450 -> 480 at pm_tile=160).
-    pm = precision == "int8c" and layout == "pm"
+    pm = precision == "int8c" and layout in ("pm", "cell")
+    cell = precision == "int8c" and layout == "cell"
     if pm:
+        if cell:
+            # one block per stream: tile == padded cutout count, so the
+            # carry path runs the WHOLE cell (backbone+gate+head) as one
+            # pallas program (ops/pallas/serve_cell.py)
+            pm_tile = -(-num_pts // 32) * 32
         if pm_tile % 32:
             raise ValueError("pm_tile must be a multiple of 32")
         p_pad = -(-num_pts // pm_tile) * pm_tile
@@ -539,21 +545,24 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         b = scan.shape[0]
         flat = encode(scan, b)
         if use_int8:
+            if pm:
+                # layer 1 runs INSIDE the pm kernel on raw cutout rows —
+                # the (N*L, 64) act1 tensor and its pm transpose never
+                # exist in HBM (XLA's layer-1 loop fusion was 5.1 ms of
+                # the 20 ms step at B=128)
+                return cs.fused_backbone_int8_pm(
+                    flat, bb_q, l=ct_len, tile=pm_tile,
+                    out_dtype=jnp.int8,
+                    embed_weights=(embed_w[0] * feat_scale, embed_w[1]),
+                    layer1_weights=(layer1_w[0][:, 0, :],
+                                    layer1_w[1].reshape(1, -1)),
+                    in_scale=float(bb_in_scale),
+                    interpret=interpret,
+                )  # feats (B*T*l4*tile, 256) int8 pm rows, zx (N, 128)
             # layer 1 emits int8 directly (requant folded into the same
             # producer — no separate quantize pass, 1/4 the HBM write)
             act1_q = cs.backbone_layer1(flat, layer1_w,
                                         out_scale=bb_in_scale)
-            if pm:
-                # rearrange rows (ct, l) -> (l, ct) within each tile; the
-                # transpose fuses into the layer-1 producer's write
-                act1_pm = (act1_q.reshape(b, t_blocks, pm_tile, ct_len, 64)
-                           .transpose(0, 1, 3, 2, 4).reshape(-1, 64))
-                return cs.fused_backbone_int8_pm(
-                    act1_pm, bb_q, l=ct_len, tile=pm_tile,
-                    out_dtype=jnp.int8,
-                    embed_weights=(embed_w[0] * feat_scale, embed_w[1]),
-                    interpret=interpret,
-                )  # feats (B*T*l4*tile, 256) int8 pm rows, zx (N, 128)
             if int8_carry:
                 # int8 feats; the embed weight absorbs the feats scale
                 feats, zx = cs.fused_backbone_int8(
@@ -608,6 +617,26 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
 
     def step(carry, scan):
         b = scan.shape[0]
+        if cell and carry is not None:
+            # whole cell (backbone + gate + head) in ONE pallas program;
+            # bootstrap (carry None) falls through to the pm kernels below
+            # at the same tile == p_pad layout
+            from planar_optical_flow_tpu.ops.pallas.serve_cell import (
+                serve_cell_int8,
+            )
+
+            flat = encode(scan, b)
+            template, z, sim, cls, reg = serve_cell_int8(
+                flat, carry["z"], carry["template"],
+                (layer1_w[0][:, 0, :], layer1_w[1].reshape(1, -1)),
+                bb_q, (embed_w[0] * feat_scale, embed_w[1]), hd_q,
+                hd_head_w, l=ct_len, ct=p_pad, alpha=gate_params.alpha,
+                window_size=gate_params.window_size,
+                in_scale=float(bb_in_scale), s_x=feat_scale,
+                s_t=tmpl_scale, s_out=tmpl_scale, ct_valid=num_pts,
+                num_classes=num_classes, interpret=interpret,
+            )
+            return _finish(carry, scan, b, template, z, sim, cls, reg)
         feats, zx = backbone(scan)                   # (N, D), (N, 128)
         if pm:
             gate_kw = dict(
@@ -665,6 +694,9 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                 window_size=gate_params.window_size, interpret=interpret,
             )
         cls, reg = head(template)
+        return _finish(carry, scan, b, template, z, sim, cls, reg)
+
+    def _finish(carry, scan, b, template, z, sim, cls, reg):
         pred_cls = (cls.reshape(b, p_pad, -1)[:, :num_pts]
                     .astype(jnp.float32))
         pred_reg = (reg.reshape(b, p_pad, 2)[:, :num_pts]
@@ -707,7 +739,57 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
             return step_boot(scan)
         return step_carry(carry, scan)
 
+    dispatch.raw_step = step  # un-jitted cell for lax.scan composition
     return dispatch
+
+
+def make_serve_sequence_processor(model, variables, cutout_kwargs,
+                                  output_fields=("pred_cls", "pred_reg"),
+                                  **serve_kwargs):
+    """Offline replay on the serve-v3 pipeline: ``lax.scan`` over time
+    inside ONE jitted program (vs one dispatch per scan), carry donated
+    in-place.
+
+    ``process(scans (T, B, P), carry=None) -> (carry', outputs stacked
+    over T)``. ``output_fields`` restricts which step outputs are stacked
+    (the stacked outputs dominate the scan body's HBM traffic); ``None``
+    stacks everything. ``serve_kwargs`` forward to
+    :func:`make_serve_step_v3` (precision, calib_scans, ...).
+    """
+    import functools as _ft
+
+    dispatch = make_serve_step_v3(model, variables, cutout_kwargs,
+                                  **serve_kwargs)
+    raw = dispatch.raw_step
+    fields = tuple(output_fields) if output_fields is not None else None
+
+    def select(out):
+        return out if fields is None else {k: out[k] for k in fields}
+
+    def body(carry, scan):
+        carry, out = raw(carry, scan)
+        return carry, select(out)
+
+    @jax.jit
+    def process_boot(scans):
+        carry, first = raw(None, scans[0])
+        carry, outs = jax.lax.scan(body, carry, scans[1:])
+        outs = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0),
+            select(first), outs,
+        )
+        return carry, outs
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def process_carry(carry, scans):
+        return jax.lax.scan(body, carry, scans)
+
+    def process(scans, carry=None):
+        if carry is None:
+            return process_boot(scans)
+        return process_carry(carry, scans)
+
+    return process
 
 
 def make_stream_step(model, cutout_kwargs, num_pts: int = 450,

@@ -52,16 +52,21 @@ def nms_predicted_center_topk(scan, scan_phi, pred_cls, pred_reg,
 
     keep = jax.lax.fori_loop(0, top_k, body, jnp.ones(top_k, dtype=bool))
 
-    # per-point instance: nearest kept detection within min_dist
+    # per-point instance: nearest kept detection within min_dist. Pure
+    # row-reductions (min + masked-min) instead of argmin + gathers — the
+    # vmapped (P, K) gathers lowered to ~1 ms of scalar-ish T(1024) code at
+    # B=128 while this form stays fully vectorized. Ties resolve to the
+    # lowest rank (== argmin's first index: ranks increase along K).
     d_all = jnp.hypot(xs_all[:, None] - xs[None, :],
                       ys_all[:, None] - ys[None, :])  # (P, K)
     d_all = jnp.where(keep[None, :], d_all, jnp.inf)
-    nearest = jnp.argmin(d_all, axis=1)
-    in_range = jnp.take_along_axis(d_all, nearest[:, None], axis=1)[:, 0] \
-        < min_dist
+    d_min = jnp.min(d_all, axis=1)
+    in_range = d_min < min_dist
     # instance ids are 1-based ranks among kept detections
     ranks = jnp.cumsum(keep.astype(jnp.int32))
-    instance_mask = jnp.where(in_range, ranks[nearest], 0)
+    at_min = d_all == d_min[:, None]
+    inst_min = jnp.min(jnp.where(at_min, ranks[None, :], top_k + 1), axis=1)
+    instance_mask = jnp.where(in_range, inst_min, 0)
 
     det_xys = jnp.stack((xs, ys), axis=1)
     return det_xys, cls_sorted, keep, instance_mask

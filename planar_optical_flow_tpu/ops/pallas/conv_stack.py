@@ -552,15 +552,29 @@ def _taps_pm(x, tile):
     return left, right
 
 
-def _conv_int8_pm(xq, wcat, s_eff, b_eff, tile):
+def _conv_int8_pm_acc(xq, wcat, tile):
     """k=3 SAME conv on position-major int8 (l*tile, Cin): one concat-tap
     matmul; same int32 accumulation as :func:`_conv_int8_cat`."""
     left, right = _taps_pm(xq, tile)
     xcat = jnp.concatenate([left, xq, right], axis=1)
-    acc = jax.lax.dot_general(xcat, wcat, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * s_eff + b_eff
+    return jax.lax.dot_general(xcat, wcat, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+
+def _scale_leaky(y, s_eff, b_eff):
+    """Dequant + leaky on the f32-cast accumulator. Bit-exact whether
+    applied before or after max-pool: s_eff > 0, f32 mul/add rounding and
+    leaky are all monotone, so max commutes with the chain — pooling first
+    halves this epilogue's VPU work. (The int32->f32 cast happens before
+    the pool: Mosaic's compile pathologically blows up reshaping a raw
+    int32 matmul accumulator.)"""
+    y = y * s_eff + b_eff
     return jnp.where(y > 0, y, _LEAKY_SLOPE * y)
+
+
+def _conv_int8_pm(xq, wcat, s_eff, b_eff, tile):
+    return _scale_leaky(
+        _conv_int8_pm_acc(xq, wcat, tile).astype(jnp.float32), s_eff, b_eff)
 
 
 def _pool2_pm(x, tile):
@@ -588,21 +602,27 @@ def _run_plan_int8_pm(xq, ws, plan, l0, tile, requant_last=False):
     n_conv = sum(1 for op in plan if op[0] == "conv")
     ci = 0
     x = xq
+    pending_epi = None
     for pi, op in enumerate(plan):
         if op[0] == "conv":
             ci += 1
-            y = _conv_int8_pm(x, ws[wi][:], ws[wi + 1][:], ws[wi + 2][:],
-                              tile)
-            wi += 3
+            acc = _conv_int8_pm_acc(x, ws[wi][:], tile)
             if pi + 1 < len(plan) and plan[pi + 1][0] == "pool":
-                x = y
-            elif ci < n_conv or requant_last:
-                x = _requant(y)
+                # pool the bare f32-cast acc first — the monotone
+                # scale+leaky commutes with max (see _scale_leaky),
+                # halving that epilogue's VPU work
+                x = acc.astype(jnp.float32)
+                pending_epi = (ws[wi + 1][:], ws[wi + 2][:])
             else:
-                x = y
+                y = _scale_leaky(acc.astype(jnp.float32), ws[wi + 1][:],
+                                 ws[wi + 2][:])
+                x = _requant(y) if (ci < n_conv or requant_last) else y
+            wi += 3
         elif op[0] == "pool":
             x = _pool2_pm(x, tile)
             l //= 2
+            x = _scale_leaky(x, *pending_epi)
+            pending_epi = None
             if ci < n_conv or requant_last:
                 x = _requant(x)
         elif op[0] == "mean":
@@ -611,7 +631,7 @@ def _run_plan_int8_pm(xq, ws, plan, l0, tile, requant_last=False):
     return x
 
 
-def _embed_epilogue_pm(out, ws_embed, z_ref, compute_dtype, tile, l4):
+def _embed_acc_pm(out, ws_embed, compute_dtype, tile, l4):
     """Gate embed on position-major features: z (tile, 128) accumulated as
     l4 per-position matmuls (the embed weight's (p, c)-flattened row order
     is sliced statically)."""
@@ -623,11 +643,40 @@ def _embed_epilogue_pm(out, ws_embed, z_ref, compute_dtype, tile, l4):
         t = jax.lax.dot_general(xp, wp, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         acc = t if acc is None else acc + t
-    z_ref[:] = (acc + be[:]).astype(z_ref.dtype)
+    return acc + be[:]
+
+
+def _embed_epilogue_pm(out, ws_embed, z_ref, compute_dtype, tile, l4):
+    z_ref[:] = _embed_acc_pm(out, ws_embed, compute_dtype, tile,
+                             l4).astype(z_ref.dtype)
+
+
+def _layer1_pm(cut, wc, b1, scale, l, tile):
+    """Backbone layer 1 inside the pm kernel: cutout block (tile, l) f32 ->
+    act1 (l*tile, 64) int8 rows in (position, cutout) order.
+
+    The k=3 taps run along the position axis (lanes of the cutout block);
+    each position's (tile, 1) lane slice broadcasts against the (1, 64)
+    weight row on the VPU — the act1 intermediate never leaves VMEM (the
+    XLA form of this op, :func:`backbone_layer1`, is HBM-bound: one s8
+    (N*L, 64) write + a slow T(1024)-layout tap read)."""
+    z = jnp.zeros_like(cut[:, :1])
+    xm = jnp.concatenate([z, cut[:, :-1]], axis=1)   # (tile, l)
+    xp = jnp.concatenate([cut[:, 1:], z], axis=1)
+    rows = []
+    for p in range(l):
+        acc = (xm[:, p:p + 1] * wc[0:1] + cut[:, p:p + 1] * wc[1:2]
+               + xp[:, p:p + 1] * wc[2:3]) + b1
+        rows.append(jnp.where(acc > 0, acc, _LEAKY_SLOPE * acc))
+    act1 = jnp.concatenate(rows, axis=0) / scale
+    return jnp.clip(jnp.rint(act1), -127, 127).astype(jnp.int8)
 
 
 def _backbone_int8_pm_kernel(x_ref, *refs, l0, tile, with_embed=False,
-                             requant_last=False):
+                             requant_last=False, with_layer1=False,
+                             in_scale=1.0):
+    if with_layer1:
+        refs, l1w = refs[2:], refs[:2]
     if with_embed:
         out_ref, z_ref = refs[-2], refs[-1]
         ws = refs[:-4]
@@ -635,7 +684,12 @@ def _backbone_int8_pm_kernel(x_ref, *refs, l0, tile, with_embed=False,
     else:
         out_ref = refs[-1]
         ws = refs[:-1]
-    out = _run_plan_int8_pm(x_ref[:], ws, _BACKBONE_PLAN, l0, tile,
+    if with_layer1:
+        x = _layer1_pm(x_ref[:].astype(jnp.float32), l1w[0][:], l1w[1][:],
+                       in_scale, l0, tile)
+    else:
+        x = x_ref[:]
+    out = _run_plan_int8_pm(x, ws, _BACKBONE_PLAN, l0, tile,
                             requant_last=requant_last)
     out_ref[:] = out.astype(out_ref.dtype)
     if with_embed:
@@ -643,24 +697,38 @@ def _backbone_int8_pm_kernel(x_ref, *refs, l0, tile, with_embed=False,
 
 
 @functools.partial(jax.jit, static_argnames=("l", "tile", "out_dtype",
-                                             "interpret"))
+                                             "in_scale", "interpret"))
 def fused_backbone_int8_pm(act1_q, weights, l: int = 56, tile: int = 160,
                            out_dtype=jnp.int8, embed_weights=None,
+                           layer1_weights=None, in_scale: float = 1.0,
                            interpret: bool = False):
     """Position-major int8 backbone: flat (NB*l*tile, 64) layer-1 rows in
     (block, position, cutout) order -> feats (NB*l4*tile, 256) in the same
     order (+ zx (NB*tile, 128) with ``embed_weights``). NB must tile rows
     exactly (pad streams to a tile multiple upstream); weights from
-    ``quantize_stack_int8(..., concat_taps=True)``; tile % 32 == 0."""
-    rows, c1 = act1_q.shape
-    nb = rows // (l * tile)
+    ``quantize_stack_int8(..., concat_taps=True)``; tile % 32 == 0.
+
+    With ``layer1_weights`` ((3, 64) folded conv weight, (64,) bias) the
+    first argument is instead raw CUTOUT rows (NB*tile, l) f32 in
+    (stream, cutout) order — layer 1 runs inside the kernel (requantized at
+    ``in_scale``) and the (N*L, 64) act1 tensor never exists in HBM."""
+    with_layer1 = layer1_weights is not None
+    if with_layer1:
+        n_rows, c1 = act1_q.shape
+        nb = n_rows // tile
+    else:
+        rows, c1 = act1_q.shape
+        nb = rows // (l * tile)
     grid = (nb,)
     l4 = l // 4
     with_embed = embed_weights is not None
     kernel = functools.partial(_backbone_int8_pm_kernel, l0=l, tile=tile,
                                with_embed=with_embed,
-                               requant_last=out_dtype == jnp.int8)
-    weights = list(weights) + (list(embed_weights) if with_embed else [])
+                               requant_last=out_dtype == jnp.int8,
+                               with_layer1=with_layer1,
+                               in_scale=float(in_scale))
+    weights = ((list(layer1_weights) if with_layer1 else []) + list(weights)
+               + (list(embed_weights) if with_embed else []))
     out_shape = jax.ShapeDtypeStruct((nb * l4 * tile, 256), out_dtype)
     out_spec = pl.BlockSpec((l4 * tile, 256), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -670,15 +738,19 @@ def fused_backbone_int8_pm(act1_q, weights, l: int = 56, tile: int = 160,
         out_spec = (out_spec,
                     pl.BlockSpec((tile, 128), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM))
+    in_block = (tile, c1) if with_layer1 else (l * tile, c1)
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=grid,
-        in_specs=[pl.BlockSpec((l * tile, c1), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec(in_block, lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
                         memory_space=pltpu.VMEM) for w in weights],
         out_specs=out_spec,
+        # whole-stream blocks (tile == 480) need ~18 MB of conv transients
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(act1_q, *weights)
 
@@ -729,6 +801,8 @@ def fused_head_int8_pm(feats_q, conv_weights, head_weights,
             pl.BlockSpec((tile, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(feats_q, *weights)
 

@@ -290,3 +290,46 @@ def test_gate_int8_pm_matches_cm():
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(sim_pm), np.asarray(sim_cm),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_serve_sequence_processor_matches_steps():
+    """lax.scan replay over serve-v3 == per-step dispatch (same kernels)."""
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import (
+        make_serve_step_v3, make_serve_sequence_processor,
+    )
+
+    num_pts = 64
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=16,
+                         padding_val=29.99, area_mode=True,
+                         gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    cur = jnp.zeros((1, num_pts))
+    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+    rng = np.random.default_rng(5)
+    kw = dict(num_pts=num_pts, with_nms=False, precision="bf16", tile=16,
+              interpret=True)
+    scans = jnp.asarray(rng.uniform(0.5, 20.0, (4, 2, num_pts)), jnp.float32)
+
+    step = make_serve_step_v3(model, variables, cutout_kwargs, **kw)
+    carry, outs_ref = None, []
+    for t in range(scans.shape[0]):
+        carry, out = step(carry, scans[t])
+        outs_ref.append(out)
+
+    process = make_serve_sequence_processor(
+        model, variables, cutout_kwargs,
+        output_fields=("pred_cls", "pred_flow"), **kw)
+    end_carry, outs = process(scans)
+    assert outs["pred_cls"].shape[0] == scans.shape[0]
+    for t in range(scans.shape[0]):
+        for k in ("pred_cls", "pred_flow"):
+            np.testing.assert_allclose(
+                np.asarray(outs[k][t], np.float32),
+                np.asarray(outs_ref[t][k], np.float32), rtol=2e-2,
+                atol=2e-2)
+    np.testing.assert_array_equal(
+        np.asarray(end_carry["template"], np.float32),
+        np.asarray(carry["template"], np.float32))
