@@ -389,7 +389,8 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                        precision: str = "bf16",
                        conv_mode: str = "3mm", int8_conv_mode: str = "cat",
                        layout: str = "pm", pm_tile: int = 160,
-                       tile: int = 64, interpret: bool = False):
+                       tile: int = 64, mesh=None,
+                       interpret: bool = False):
     """Flat-layout fused serving step (fastest path, see BASELINE.md).
 
     Pipeline, ONE program per scan, every big tensor flat ``(N*, C)`` so no
@@ -731,8 +732,23 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                        instance_mask=inst)
         return {"template": template, "z": z}, out
 
-    step_boot = jax.jit(lambda s: step(None, s))
-    step_carry = jax.jit(step, donate_argnums=(0,))
+    if mesh is not None:
+        # multi-chip serving: streams are independent, so the whole step
+        # shard_maps over the mesh's "data" axis with zero collectives —
+        # every per-shard pallas kernel runs on its chip's slice. Batch
+        # (and the carry rows) must divide the data axis size.
+        from jax.sharding import PartitionSpec as _P
+
+        spec = _P("data")
+        step_boot = jax.jit(jax.shard_map(
+            lambda s: step(None, s), mesh=mesh, in_specs=spec,
+            out_specs=spec, check_vma=False))
+        step_carry = jax.jit(jax.shard_map(
+            step, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+            check_vma=False), donate_argnums=(0,))
+    else:
+        step_boot = jax.jit(lambda s: step(None, s))
+        step_carry = jax.jit(step, donate_argnums=(0,))
 
     def dispatch(carry, scan):
         if carry is None:
