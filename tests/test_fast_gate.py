@@ -217,9 +217,12 @@ def test_serve_step_v3_int8():
             assert corr > 0.96, (i, k, corr)
 
 
-def test_serve_step_v3_int8_carry():
+@pytest.mark.parametrize("layout", ["pm", "cell"])
+def test_serve_step_v3_int8_carry(layout):
     """int8 end-to-end (int8c): template carried in int8 through the gate;
-    outputs stay close to the f32 module path on trained-scale features."""
+    outputs stay close to the f32 module path on trained-scale features.
+    layout="cell" runs the whole carry step through the fused
+    ops/pallas/serve_cell.py program (bit-identical math to "pm")."""
     from planar_optical_flow_tpu.models import FlowDrow
     from planar_optical_flow_tpu.infer.streaming import (
         make_stream_step, make_serve_step_v3,
@@ -241,8 +244,8 @@ def test_serve_step_v3_int8_carry():
                                 donate_template=False, with_nms=False)
     v3 = make_serve_step_v3(model, variables, cutout_kwargs,
                             calib_scans=calib, num_pts=num_pts,
-                            with_nms=False, precision="int8c", tile=16,
-                            interpret=True)
+                            with_nms=False, precision="int8c",
+                            layout=layout, tile=16, interpret=True)
     tmpl, carry = None, None
     for i in range(3):
         scan = jnp.asarray(rng.uniform(0.5, 20.0, (2, num_pts)), jnp.float32)
