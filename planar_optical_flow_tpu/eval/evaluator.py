@@ -75,8 +75,9 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
                                   conf_thresh: float = 0.0,
                                   num_pts: int | None = None,
                                   compute_dtype=None,
-                                  gate_mix: str = "pallas",
-                                  interpret: bool = False):
+                                  gate_mix: str | None = None,
+                                  engine: str = "v3",
+                                  interpret: bool | None = None):
     """Detection PR/AP over a frame sequence, ``batch_streams`` frames per
     device step.
 
@@ -87,17 +88,30 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
     batch-1 host loop of :func:`evaluate_detection_ap` (reference eval
     shape: ``eval_utils.py:221-274``, one frame at a time on host).
 
-    ``frames``: a :class:`DetectionEvalFrames` (or dataset accepted by its
-    ``from_dataset`` adapter).
+    ``engine``: "v3" (default) runs the bf16 fused serve-v3 pipeline —
+    10k frames in a few seconds on one chip; "module" runs the
+    module-path :func:`make_serve_step` (f32-exact vs ``StreamingRunner``,
+    used by the parity tests). ``frames``: a :class:`DetectionEvalFrames`
+    (or dataset accepted by its ``from_dataset`` adapter).
     """
+    import jax
     import jax.numpy as jnp
 
-    from planar_optical_flow_tpu.infer.streaming import make_serve_step
+    from planar_optical_flow_tpu.infer.streaming import (
+        make_serve_step, make_serve_step_v3,
+    )
 
     if not isinstance(frames, DetectionEvalFrames):
         frames = DetectionEvalFrames.from_dataset(frames)
     t_total, p = frames.scans.shape
     num_pts = num_pts or p
+    if interpret is None:
+        # pallas kernels need interpret mode off-TPU (tests / CPU eval)
+        interpret = engine == "v3" and jax.default_backend() == "cpu"
+    if gate_mix is None:
+        # the pallas banded gate needs sublane-aligned cutout blocks; at
+        # e.g. 450 pts fall back to the XLA mix (same numerics)
+        gate_mix = "pallas" if num_pts % 8 == 0 else "xla"
     b = max(1, min(batch_streams, t_total))
     t_chunk = (t_total + b - 1) // b
     pad = b * t_chunk - t_total
@@ -105,9 +119,15 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
         [frames.scans, np.full((pad, p), 29.99, np.float32)], axis=0
     ).reshape(b, t_chunk, p)
 
-    step = make_serve_step(model, variables, cutout_kwargs, num_pts=num_pts,
-                           compute_dtype=compute_dtype, gate_mix=gate_mix,
-                           interpret=interpret)
+    if engine == "v3":
+        step = make_serve_step_v3(model, variables, cutout_kwargs,
+                                  num_pts=num_pts, precision="bf16",
+                                  interpret=interpret)
+    else:
+        step = make_serve_step(model, variables, cutout_kwargs,
+                               num_pts=num_pts,
+                               compute_dtype=compute_dtype,
+                               gate_mix=gate_mix, interpret=interpret)
     outs = []
     carry = None
     for t in range(t_chunk):

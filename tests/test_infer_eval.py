@@ -191,14 +191,22 @@ def test_evaluate_detection_ap_batched_matches_runner(tmp_path, rng):
     frames = DetectionEvalFrames.from_dataset(ds)
     got1 = evaluate_detection_ap_batched(
         model, variables, CUTOUT_KW, frames, batch_streams=1,
-        conf_thresh=0.5, gate_mix="xla",
+        conf_thresh=0.5, gate_mix="xla", engine="module",
     )
     assert got1["num_frames"] == ref["num_frames"] == len(ds)
     np.testing.assert_allclose(got1["ap"], ref["ap"], atol=1e-6)
 
     got4 = evaluate_detection_ap_batched(
         model, variables, CUTOUT_KW, ds, batch_streams=4,
-        conf_thresh=0.5, gate_mix="xla",
+        conf_thresh=0.5, gate_mix="xla", engine="module",
     )
     assert got4["num_frames"] == len(ds)
     assert 0.0 <= got4["ap"] <= 1.0
+
+    # default engine: bf16 fused serve-v3 (interpret auto-on off-TPU)
+    got_v3 = evaluate_detection_ap_batched(
+        model, variables, CUTOUT_KW, frames, batch_streams=4,
+        conf_thresh=0.5,
+    )
+    assert got_v3["num_frames"] == len(ds)
+    assert 0.0 <= got_v3["ap"] <= 1.0
