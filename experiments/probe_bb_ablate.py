@@ -14,12 +14,27 @@ PLAN = (("conv", 64, 64), ("conv", 64, 128), ("pool",),
 
 def make_kernel(mode):
     def conv(xq, w, s, b, do_epi):
-        z = jnp.zeros_like(xq[:tile])
-        xcat = jnp.concatenate(
-            [jnp.concatenate([z, xq[:-tile]], 0), xq,
-             jnp.concatenate([xq[tile:], z], 0)], axis=1)
-        acc = jax.lax.dot_general(xcat, w, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
+        if mode == "oshift":
+            # 3 matmuls on the UNSHIFTED input; shift the outputs by whole
+            # tiles instead (no (rows, 3C) concat build). Same math.
+            ci = xq.shape[1]
+            dn = (((1,), (0,)), ((), ()))
+            yl = jax.lax.dot_general(xq, w[:ci], dn,
+                                     preferred_element_type=jnp.int32)
+            yc = jax.lax.dot_general(xq, w[ci:2 * ci], dn,
+                                     preferred_element_type=jnp.int32)
+            yr = jax.lax.dot_general(xq, w[2 * ci:], dn,
+                                     preferred_element_type=jnp.int32)
+            zz = jnp.zeros_like(yl[:tile])
+            acc = (yc + jnp.concatenate([zz, yl[:-tile]], 0)
+                   + jnp.concatenate([yr[tile:], zz], 0))
+        else:
+            z = jnp.zeros_like(xq[:tile])
+            xcat = jnp.concatenate(
+                [jnp.concatenate([z, xq[:-tile]], 0), xq,
+                 jnp.concatenate([xq[tile:], z], 0)], axis=1)
+            acc = jax.lax.dot_general(xcat, w, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32)
         if mode == "mxu-only":
             # f32 cast only, no scale/leaky/requant (wrong math)
@@ -60,7 +75,7 @@ for op in PLAN:
                jnp.asarray(rng.uniform(1e-4, 2e-4, (1, co)), jnp.float32),
                jnp.asarray(rng.normal(size=(1, co)) * .1, jnp.float32)]
 
-for mode in ("full", "no-requant", "mxu-only"):
+for mode in ("full", "oshift"):
     f = pl.pallas_call(
         make_kernel(mode), grid=(nb,),
         in_specs=[pl.BlockSpec((l * tile, 64), lambda i: (i, 0),
