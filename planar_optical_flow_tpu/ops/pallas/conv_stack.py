@@ -17,9 +17,11 @@ This version never changes layout inside the kernel:
   accumulated in f32 (``conv_mode="3mm"``) or lane-concatenated into one
   (rows, 3*Cin) @ (3*Cin, Cout) matmul (``conv_mode="concat"`` — 3x the
   contraction depth, better MXU utilization at Cin=64/128),
-* layer 1 of the backbone (Cin=1 — no MXU-friendly in-kernel form) runs in
-  XLA via :func:`backbone_layer1` and hands the kernel a flat
-  ``(N*L, 64)`` activation,
+* layer 1 of the backbone (Cin=1) either runs in XLA via
+  :func:`backbone_layer1` (bf16/f32 paths) or — on the position-major int8
+  path — INSIDE the kernel as per-position VPU broadcasts
+  (``layer1_weights=`` on :func:`fused_backbone_int8_pm`), so the
+  ``(N*L, 64)`` activation never exists in HBM,
 * max-pool/2 and the head's temporal mean use the row-major identity
   ``(R, C) -> (R/k, k*C)`` (one reshape, then a lane-slice max/sum),
 * BatchNorm is pre-folded (inference).
