@@ -928,14 +928,33 @@ def make_sequence_processor(model, cutout_kwargs, num_pts: int = 450,
 
 
 class StreamingRunner:
-    """Convenience wrapper holding variables + per-stream template state."""
+    """Convenience wrapper holding variables + per-stream template state.
+
+    ``engine``: "module" (default) drives the f32 flax module path —
+    reference-exact, used by the parity tests; "v3" drives the fused
+    bf16 serve-v3 pallas pipeline (~4x faster per scan on TPU, bf16
+    tolerance; interpret mode auto-enabled off-TPU).
+    """
 
     def __init__(self, model, variables, cutout_kwargs, num_pts: int = 450,
-                 nms_min_dist: float = 0.5, with_nms: bool = True):
-        self._step = make_stream_step(
-            model, cutout_kwargs, num_pts, nms_min_dist, with_nms,
-            donate_template=False,
-        )
+                 nms_min_dist: float = 0.5, with_nms: bool = True,
+                 engine: str = "module"):
+        if engine == "v3":
+            import jax
+
+            self._step_v3 = make_serve_step_v3(
+                model, variables, cutout_kwargs, num_pts=num_pts,
+                nms_min_dist=nms_min_dist, with_nms=with_nms,
+                precision="bf16",
+                interpret=jax.default_backend() == "cpu",
+            )
+            self._step = None
+        else:
+            self._step = make_stream_step(
+                model, cutout_kwargs, num_pts, nms_min_dist, with_nms,
+                donate_template=False,
+            )
+            self._step_v3 = None
         self._variables = variables
         self._template = None
 
@@ -945,5 +964,9 @@ class StreamingRunner:
     def __call__(self, scan: np.ndarray) -> dict:
         """Process one ``(B, P)`` scan batch; returns numpy outputs."""
         scan = jnp.asarray(scan, dtype=jnp.float32)
-        self._template, out = self._step(self._variables, self._template, scan)
+        if self._step_v3 is not None:
+            self._template, out = self._step_v3(self._template, scan)
+        else:
+            self._template, out = self._step(self._variables,
+                                             self._template, scan)
         return out

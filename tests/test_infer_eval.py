@@ -210,3 +210,29 @@ def test_evaluate_detection_ap_batched_matches_runner(tmp_path, rng):
     )
     assert got_v3["num_frames"] == len(ds)
     assert 0.0 <= got_v3["ap"] <= 1.0
+
+
+def test_streaming_runner_v3_engine(rng):
+    """StreamingRunner(engine="v3") tracks the module engine closely."""
+    from planar_optical_flow_tpu.infer import StreamingRunner
+    from planar_optical_flow_tpu.models import FlowDrow
+
+    num_pts = 64
+    kw = dict(fixed=True, centered=True, window_width=1.0, window_depth=0.5,
+              num_cutout_pts=16, padding_val=29.99, area_mode=True,
+              gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    cur = jnp.zeros((1, num_pts))
+    variables = model.init(KEY, x, cur, train=False)
+    ref = StreamingRunner(model, variables, kw, num_pts=num_pts)
+    fast = StreamingRunner(model, variables, kw, num_pts=num_pts,
+                           engine="v3")
+    for i in range(2):
+        scan = rng.uniform(0.5, 20.0, (2, num_pts)).astype(np.float32)
+        out_r, out_f = ref(scan), fast(scan)
+        for k in ("pred_cls", "pred_flow"):
+            corr = np.corrcoef(
+                np.asarray(out_f[k], np.float32).ravel(),
+                np.asarray(out_r[k], np.float32).ravel())[0, 1]
+            assert corr > 0.99, (i, k, corr)
