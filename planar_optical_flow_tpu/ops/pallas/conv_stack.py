@@ -49,6 +49,10 @@ from planar_optical_flow_tpu.ops.pallas.fused_drow import (
 
 _LEAKY_SLOPE = 0.1
 
+# conv transients (xcat + f32 acc) exceed the 16 MB default scoped-VMEM
+# budget at large tiles (whole-stream blocks); v5e has far more VMEM
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 # static plans: ("conv",) / ("pool",) / ("mean",); layer-1 of the backbone
 # is NOT in the plan (see backbone_layer1)
 _BACKBONE_PLAN = (
@@ -309,6 +313,7 @@ def fused_backbone_v2(act1, weights, l: int = 56, tile: int = 64,
         + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
                         memory_space=pltpu.VMEM) for w in weights],
         out_specs=out_spec,
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(x, *weights)
     if with_embed:
@@ -354,6 +359,7 @@ def fused_head_v2(feats_flat, conv_weights, head_weights,
             pl.BlockSpec((tile, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(x, *weights)
     return cls[:n], reg[:n]
@@ -750,9 +756,7 @@ def fused_backbone_int8_pm(act1_q, weights, l: int = 56, tile: int = 160,
         + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
                         memory_space=pltpu.VMEM) for w in weights],
         out_specs=out_spec,
-        # whole-stream blocks (tile == 480) need ~18 MB of conv transients
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(act1_q, *weights)
 
@@ -803,8 +807,7 @@ def fused_head_int8_pm(feats_q, conv_weights, head_weights,
             pl.BlockSpec((tile, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(feats_q, *weights)
 
@@ -883,6 +886,7 @@ def fused_backbone_int8(act1_q, weights, l: int = 56, tile: int = 64,
         + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
                         memory_space=pltpu.VMEM) for w in weights],
         out_specs=out_spec,
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(x, *weights)
     if with_embed:
@@ -927,6 +931,7 @@ def fused_head_int8(feats_q, conv_weights, head_weights, num_classes: int = 1,
             pl.BlockSpec((tile, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(x, *weights)
     return cls[:n], reg[:n]
