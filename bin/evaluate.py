@@ -27,6 +27,12 @@ def main(argv=None):
     parser.add_argument("--synthetic", default=None)
     parser.add_argument("--ap", action="store_true",
                         help="also run streaming detection AP")
+    parser.add_argument("--engine", choices=("module", "v3", "int8c"),
+                        default="v3",
+                        help="serving engine for --ap: 'v3' fused bf16 "
+                             "(default), 'int8c' flagship int8 (calibrated "
+                             "from the checkpoint dir or the eval scans), "
+                             "'module' f32-exact")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -59,10 +65,16 @@ def main(argv=None):
                                             "flow_drow", "drow"):
         from planar_optical_flow_tpu.eval import evaluate_detection_ap_batched
 
+        calib = None
+        if args.engine == "int8c" and args.ckpt:
+            from planar_optical_flow_tpu.infer import ServeCalibration
+
+            calib = ServeCalibration.find(args.ckpt)
         ds = pipeline.val_set or pipeline.train_set
         ap = evaluate_detection_ap_batched(
             pipeline.model, pipeline.state.variables,
             cfg["dataset"].get("cutout_kwargs", {}), ds,
+            engine=args.engine, calib=calib,
         )
         print({k: round(v, 6) if isinstance(v, float) else v
                for k, v in ap.items()})

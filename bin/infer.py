@@ -36,10 +36,20 @@ def main(argv=None):
                         help="match odometry by timestamp and report "
                              "detections/flow in the world frame "
                              "(reference infer_person_flow.py:112-147)")
-    parser.add_argument("--engine", choices=("module", "v3"),
+    parser.add_argument("--engine", choices=("module", "v3", "int8c"),
                         default="module",
                         help="'v3' = fused bf16 pallas serving pipeline "
-                             "(~4x faster per scan; bf16 tolerance)")
+                             "(~4x faster per scan; bf16 tolerance); "
+                             "'int8c' = flagship int8 end-to-end pipeline "
+                             "(scales from calibration.json next to the "
+                             "checkpoint if present, else self-calibrated "
+                             "on the sequence's first scans)")
+    parser.add_argument("--calib", default=None,
+                        help="path to a calibration.json (or a directory "
+                             "containing one) for --engine int8c")
+    parser.add_argument("--save-calib", default=None,
+                        help="persist the int8c calibration in use to this "
+                             "path (e.g. next to the checkpoint)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -83,9 +93,25 @@ def main(argv=None):
     if args.ckpt:
         state = ckpt_lib.restore_checkpoint(args.ckpt, state)
 
+    calib = calib_scans = None
+    if args.engine == "int8c":
+        from planar_optical_flow_tpu.infer import ServeCalibration
+
+        if args.calib:
+            calib = ServeCalibration.load(args.calib)
+        elif args.ckpt:
+            calib = ServeCalibration.find(args.ckpt)
+        if calib is None:
+            # self-calibrate on the sequence's first scans (the runtime
+            # encode path observes the same data distribution it serves)
+            calib_scans = np.asarray(scans[:8], np.float32)
+
     runner = StreamingRunner(model, state.variables,
                              cfg["dataset"].get("cutout_kwargs", {}),
-                             engine=args.engine)
+                             engine=args.engine, calib=calib,
+                             calib_scans=calib_scans)
+    if args.save_calib and runner.calibration is not None:
+        print(f"calibration saved to {runner.calibration.save(args.save_calib)}")
 
     all_out = []
     for i, scan in enumerate(scans):

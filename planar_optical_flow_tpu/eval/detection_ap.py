@@ -39,6 +39,26 @@ def match_detections(det_xy, det_conf, gt_xy, radius: float = 0.5):
     return tp, det_conf[order], len(gt_xy)
 
 
+def precision_recall_from_pool(flags, confs, num_gt: int):
+    """PR curve from an already-matched detection pool.
+
+    ``flags``: (N,) bool TP flags; ``confs``: (N,) confidences (any order);
+    ``num_gt``: total ground-truth count across frames.
+    """
+    flags = np.asarray(flags, bool).reshape(-1)
+    confs = np.asarray(confs, np.float64).reshape(-1)
+    if len(flags) == 0 or num_gt == 0:
+        return np.ones(1), np.zeros(1), np.zeros(1)
+    order = np.argsort(-confs)
+    flags = flags[order]
+    confs = confs[order]
+    tp_cum = np.cumsum(flags)
+    fp_cum = np.cumsum(~flags)
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
+    recall = tp_cum / num_gt
+    return precision, recall, confs
+
+
 def precision_recall_curve(frames, radius: float = 0.5):
     """``frames``: iterable of (det_xy, det_conf, gt_xy) per frame.
 
@@ -52,16 +72,8 @@ def precision_recall_curve(frames, radius: float = 0.5):
         num_gt += n
     if not flags or num_gt == 0:
         return np.ones(1), np.zeros(1), np.zeros(1)
-    flags = np.concatenate(flags)
-    confs = np.concatenate(confs)
-    order = np.argsort(-confs)
-    flags = flags[order]
-    confs = confs[order]
-    tp_cum = np.cumsum(flags)
-    fp_cum = np.cumsum(~flags)
-    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
-    recall = tp_cum / num_gt
-    return precision, recall, confs
+    return precision_recall_from_pool(
+        np.concatenate(flags), np.concatenate(confs), num_gt)
 
 
 def average_precision(precision, recall) -> float:

@@ -69,6 +69,52 @@ class DetectionEvalFrames:
         return cls(scans, gt)
 
 
+def _make_batched_matcher(radius: float, conf_thresh: float):
+    """Jitted per-frame greedy detection↔GT matcher, vmapped over frames.
+
+    Same protocol as :func:`detection_ap.match_detections` (confidence-
+    ordered greedy association within ``radius``; each GT used once) on
+    fixed-shape inputs, so all F frames match in one device call instead
+    of a 10k-iteration host loop.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def match_one(xy, conf, valid, gt, gt_valid):
+        k = xy.shape[0]
+        # sort detections by confidence DESC; invalid slots sink to -1
+        key = jnp.where(valid, conf, -1.0)
+        order = jnp.argsort(-key)
+        xy_s = xy[order]
+        valid_s = valid[order]
+
+        def body(i, carry):
+            tp, used = carry
+            d = jnp.sum((gt - xy_s[i]) ** 2, axis=1)
+            d = jnp.where(used | ~gt_valid, jnp.inf, d)
+            j = jnp.argmin(d)
+            ok = valid_s[i] & (d[j] <= radius * radius)
+            tp = tp.at[i].set(ok)
+            used = used.at[j].set(used[j] | ok)
+            return tp, used
+
+        tp, _ = jax.lax.fori_loop(
+            0, k, body,
+            (jnp.zeros((k,), bool), jnp.zeros(gt.shape[0], bool)),
+        )
+        return tp, jnp.where(valid_s, key[order], -1.0), valid_s
+
+    match = jax.jit(jax.vmap(match_one))
+
+    def run(xy, conf, keep, gt, gt_valid, frame_valid):
+        valid = keep & (conf >= conf_thresh) & frame_valid[:, None]
+        return match(jnp.asarray(xy), jnp.asarray(conf),
+                     jnp.asarray(valid), jnp.asarray(gt),
+                     jnp.asarray(gt_valid))
+
+    return run
+
+
 def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
                                   batch_streams: int = 16,
                                   radius: float = 0.5,
@@ -77,6 +123,7 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
                                   compute_dtype=None,
                                   gate_mix: str | None = None,
                                   engine: str = "v3",
+                                  calib=None,
                                   interpret: bool | None = None):
     """Detection PR/AP over a frame sequence, ``batch_streams`` frames per
     device step.
@@ -87,13 +134,21 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
     independent scans through the batched serving step — vs. the
     batch-1 host loop of :func:`evaluate_detection_ap` (reference eval
     shape: ``eval_utils.py:221-274``, one frame at a time on host).
+    Detection↔GT matching also runs on device (one vmapped greedy-matcher
+    call over all frames); the host only pads GT and integrates the PR
+    curve.
 
     ``engine``: "v3" (default) runs the bf16 fused serve-v3 pipeline —
-    10k frames in a few seconds on one chip; "module" runs the
-    module-path :func:`make_serve_step` (f32-exact vs ``StreamingRunner``,
-    used by the parity tests). ``frames``: a :class:`DetectionEvalFrames`
-    (or dataset accepted by its ``from_dataset`` adapter).
+    10k frames in a few seconds on one chip; "int8c" runs the flagship
+    int8 end-to-end pipeline (calibrated from ``calib`` — a
+    ``ServeCalibration`` — or self-calibrated on the first scans);
+    "module" runs the module-path :func:`make_serve_step` (f32-exact vs
+    ``StreamingRunner``, used by the parity tests). ``frames``: a
+    :class:`DetectionEvalFrames` (or dataset accepted by its
+    ``from_dataset`` adapter).
     """
+    import warnings
+
     import jax
     import jax.numpy as jnp
 
@@ -107,7 +162,14 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
     num_pts = num_pts or p
     if interpret is None:
         # pallas kernels need interpret mode off-TPU (tests / CPU eval)
-        interpret = engine == "v3" and jax.default_backend() == "cpu"
+        interpret = engine != "module" and jax.default_backend() == "cpu"
+    if engine != "module" and (compute_dtype is not None
+                               or gate_mix is not None):
+        # these knobs only affect the module engine; silently ignoring
+        # them would shift reported AP without signal (ADVICE r2)
+        warnings.warn(
+            f"compute_dtype/gate_mix are ignored by engine={engine!r}; "
+            "pass engine='module' to use them", stacklevel=2)
     if gate_mix is None:
         # the pallas banded gate needs sublane-aligned cutout blocks; at
         # e.g. 450 pts fall back to the XLA mix (same numerics)
@@ -123,6 +185,12 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
         step = make_serve_step_v3(model, variables, cutout_kwargs,
                                   num_pts=num_pts, precision="bf16",
                                   interpret=interpret)
+    elif engine == "int8c":
+        step = make_serve_step_v3(
+            model, variables, cutout_kwargs, num_pts=num_pts,
+            precision="int8c", calib=calib,
+            calib_scans=None if calib is not None else frames.scans[:8],
+            interpret=interpret)
     else:
         step = make_serve_step(model, variables, cutout_kwargs,
                                num_pts=num_pts,
@@ -134,30 +202,46 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
         carry, out = step(carry, jnp.asarray(scans[:, t]))
         outs.append({k: out[k] for k in ("det_xys", "det_cls", "det_keep")})
 
-    per_frame = []
-    for t, out in enumerate(outs):  # host side: unpack fixed-shape results
-        keep = np.asarray(out["det_keep"])
-        xys = np.asarray(out["det_xys"])
-        conf = np.asarray(out["det_cls"])[..., 0]
-        for s in range(b):
-            i = s * t_chunk + t
-            if i >= t_total:
-                continue
-            k = keep[s]
-            sel = conf[s][k] >= conf_thresh
-            per_frame.append(
-                (i, xys[s][k][sel], conf[s][k][sel], frames.gt[i])
-            )
-    per_frame.sort(key=lambda f: f[0])
-    triples = [(x, c, g) for _, x, c, g in per_frame]
+    # stack to (t_chunk, b, K, .) and flatten to frame rows n = t*b + s;
+    # frame index i = s*t_chunk + t
+    xys = np.stack([np.asarray(o["det_xys"]) for o in outs])
+    confs = np.stack([np.asarray(o["det_cls"]) for o in outs])[..., 0]
+    keeps = np.stack([np.asarray(o["det_keep"]) for o in outs])
+    kslots = xys.shape[2]
+    xys = xys.reshape(-1, kslots, 2)
+    confs = confs.reshape(-1, kslots)
+    keeps = keeps.reshape(-1, kslots)
 
-    precision, recall, _ = detection_ap.precision_recall_curve(triples,
-                                                               radius)
+    tt, ss = np.meshgrid(np.arange(t_chunk), np.arange(b), indexing="ij")
+    frame_idx = (ss * t_chunk + tt).reshape(-1)
+    frame_valid = frame_idx < t_total
+
+    g_max = max([1] + [len(g) for g in frames.gt])
+    gt_pad = np.zeros((len(frame_idx), g_max, 2), np.float32)
+    gt_valid = np.zeros((len(frame_idx), g_max), bool)
+    num_gt = 0
+    for n, (i, fv) in enumerate(zip(frame_idx, frame_valid)):
+        if not fv:
+            continue
+        g = np.asarray(frames.gt[i], np.float32).reshape(-1, 2)
+        gt_pad[n, : len(g)] = g
+        gt_valid[n, : len(g)] = True
+        num_gt += len(g)
+
+    matcher = _make_batched_matcher(radius, conf_thresh)
+    tp, conf_sorted, valid_sorted = matcher(xys, confs, keeps, gt_pad,
+                                            gt_valid, frame_valid)
+    sel = np.asarray(valid_sorted).reshape(-1)
+    flags = np.asarray(tp).reshape(-1)[sel]
+    pool_confs = np.asarray(conf_sorted).reshape(-1)[sel]
+
+    precision, recall, _ = detection_ap.precision_recall_from_pool(
+        flags, pool_confs, num_gt)
     return {
         "ap": detection_ap.average_precision(precision, recall),
         "peak_f1": detection_ap.peak_f1(precision, recall),
         "eer": detection_ap.eer(precision, recall),
-        "num_frames": len(triples),
+        "num_frames": int(frame_valid.sum()),
     }
 
 

@@ -11,3 +11,7 @@ from planar_optical_flow_tpu.infer.streaming import (  # noqa: F401
     StreamingRunner,
 )
 from planar_optical_flow_tpu.infer.box_regressor import BoxRegressor  # noqa: F401
+from planar_optical_flow_tpu.infer.calibration import (  # noqa: F401
+    ServeCalibration,
+    calibrate_serve_v3,
+)

@@ -389,7 +389,7 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                        precision: str = "bf16",
                        conv_mode: str = "3mm", int8_conv_mode: str = "cat",
                        layout: str = "pm", pm_tile: int = 160,
-                       tile: int = 64, mesh=None,
+                       tile: int = 64, mesh=None, calib=None,
                        interpret: bool = False):
     """Flat-layout fused serving step (fastest path, see BASELINE.md).
 
@@ -405,7 +405,10 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     or "int8c" for int8 end-to-end — conv stacks AND the template carry are
     int8, the gate mixes with an int8 MXU matmul, and the head consumes the
     int8 template directly (halves the gate's HBM traffic). "int8"/"int8c"
-    require ``calib_scans`` (B0, num_pts) f32 for scale calibration.
+    require either ``calib_scans`` (B0, num_pts) f32 for on-the-spot scale
+    calibration, or ``calib`` (an ``infer.calibration.ServeCalibration``,
+    e.g. restored from a checkpoint directory). The calibration in effect
+    is exposed as ``step.calibration`` for persisting.
 
     Returns ``step(carry, scan) -> (carry', outputs)``; carry is
     ``{"template": (N, D) bf16, "z": (N, 128)}``.
@@ -443,7 +446,11 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     # so the k=3 taps are vreg-aligned slice-concats instead of int8
     # byte-shifts — ~2x faster backbone, ~1.2x head (probe_r2l). Cutouts
     # are padded to a tile multiple (450 -> 480 at pm_tile=160).
-    pm = precision == "int8c" and layout in ("pm", "cell")
+    # "p2" = pm with the backbone's first stage lane-packing position
+    # pairs (full MXU tiles + full vregs through the 64-ch layers,
+    # bit-identical values; probe_r3c) — same feats layout downstream.
+    pm = precision == "int8c" and layout in ("pm", "cell", "p2")
+    p2 = precision == "int8c" and layout == "p2"
     cell = precision == "int8c" and layout == "cell"
     if pm:
         if cell:
@@ -495,40 +502,70 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     use_int8 = precision in ("int8", "int8c")
     int8_carry = precision == "int8c"
     if use_int8:
-        if calib_scans is None:
-            raise ValueError("int8 precision requires calib_scans")
-        calib = jnp.asarray(calib_scans, jnp.float32)
-        # calibrate on the SAME encode path the runtime uses
-        cut_c = encode(calib, calib.shape[0])  # (B0 * p_pad, C)
-        n0 = cut_c.shape[0]
-        act1_c = np.asarray(cs.backbone_layer1(
-            cut_c, layer1_w, compute_dtype=jnp.float32,
-        ))
+        from planar_optical_flow_tpu.infer.calibration import (
+            ServeCalibration,
+        )
+
+        if not pm and int8_conv_mode == "cat":
+            # the cutout-major cat kernels realize taps via int8 byte
+            # shifts whose sublane packing is platform-validated on v5e
+            # only; known-answer self-check before first use (ADVICE r2)
+            cs.check_byte_shift(interpret=interpret)
+
         bb_blocks = (_block_params(bb_vars, "block1", 3)
                      + _block_params(bb_vars, "block2", 3))
+        hd_blocks = (_block_params(hd_vars, "block3", 3)
+                     + _block_params(hd_vars, "block4", 2))
+        if calib is None:
+            if calib_scans is None:
+                raise ValueError(
+                    "int8 precision requires calib_scans or calib")
+            calib_j = jnp.asarray(calib_scans, jnp.float32)
+            # calibrate on the SAME encode path the runtime uses
+            cut_c = encode(calib_j, calib_j.shape[0])  # (B0 * p_pad, C)
+            n0 = cut_c.shape[0]
+            act1_c = np.asarray(cs.backbone_layer1(
+                cut_c, layer1_w, compute_dtype=jnp.float32,
+            ))
+            bb_in_scale, bb_act_scales = cs.stack_act_scales(
+                bb_blocks[1:], act1_c.reshape(n0, ct_len, 64)[:4096],
+                pool_after={1, 4},
+            )
+            # head calibration on a realistic (post-gate) template: run
+            # two f32 reference steps
+            ref_step = make_stream_step(model, cutout_kwargs, num_pts,
+                                        with_nms=False,
+                                        donate_template=False)
+            tmpl, _ = ref_step(variables, None, calib_j)
+            tmpl, _ = ref_step(variables, tmpl, calib_j)
+            tmpl_np = np.asarray(tmpl, np.float32).reshape(-1, l4, 256)
+            hd_in_scale, hd_act_scales = cs.stack_act_scales(
+                hd_blocks, tmpl_np[:4096], pool_after={2},
+            )
+            calib = ServeCalibration(
+                bb_in_scale=float(bb_in_scale),
+                bb_act_scales=[float(s) for s in bb_act_scales],
+                hd_in_scale=float(hd_in_scale),
+                hd_act_scales=[float(s) for s in hd_act_scales],
+                num_pts=num_pts, num_cutout_pts=ct_len,
+            )
         # with an int8 carry the backbone's LAST layer also requants (its
         # epilogue scale is then in feats-scale units, not true f32)
         bb_q, bb_in_scale, feat_scale = cs.quantize_stack_int8(
-            bb_blocks[1:], act1_c.reshape(n0, ct_len, 64)[:4096], ct_len,
-            pool_after={1, 4}, dequant_last=not (precision == "int8c"),
+            bb_blocks[1:], None, ct_len, pool_after={1, 4},
+            in_scale=calib.bb_in_scale, act_scales=calib.bb_act_scales,
+            dequant_last=not (precision == "int8c"),
             concat_taps=int8_conv_mode == "cat",
         )
-        # head calibration on a realistic (post-gate) template: run two f32
-        # reference steps
-        ref_step = make_stream_step(model, cutout_kwargs, num_pts,
-                                    with_nms=False, donate_template=False)
-        tmpl, _ = ref_step(variables, None, calib)
-        tmpl, _ = ref_step(variables, tmpl, calib)
-        tmpl_np = np.asarray(tmpl, np.float32).reshape(-1, l4, 256)
-        hd_blocks = (_block_params(hd_vars, "block3", 3)
-                     + _block_params(hd_vars, "block4", 2))
         hd_q, hd_in_scale, _ = cs.quantize_stack_int8(
-            hd_blocks, tmpl_np[:4096], l4, pool_after={2},
+            hd_blocks, None, l4, pool_after={2},
+            in_scale=calib.hd_in_scale, act_scales=calib.hd_act_scales,
             concat_taps=int8_conv_mode == "cat",
         )
         if int8_carry:
             feat_scale = float(feat_scale)
             tmpl_scale = float(hd_in_scale)
+        bb_q_p2 = cs.pack2_backbone_weights(bb_q) if p2 else None
 
     gate_vars = cast_variables(variables, jnp.bfloat16)
 
@@ -546,6 +583,15 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         b = scan.shape[0]
         flat = encode(scan, b)
         if use_int8:
+            if p2:
+                return cs.fused_backbone_int8_p2(
+                    flat, bb_q_p2,
+                    (layer1_w[0][:, 0, :], layer1_w[1].reshape(1, -1)),
+                    l=ct_len, tile=pm_tile, out_dtype=jnp.int8,
+                    embed_weights=(embed_w[0] * feat_scale, embed_w[1]),
+                    in_scale=float(bb_in_scale),
+                    interpret=interpret,
+                )  # same pm feats layout, packed first stage
             if pm:
                 # layer 1 runs INSIDE the pm kernel on raw cutout rows —
                 # the (N*L, 64) act1 tensor and its pm transpose never
@@ -735,8 +781,9 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     if mesh is not None:
         # multi-chip serving: streams are independent, so the whole step
         # shard_maps over the mesh's "data" axis with zero collectives —
-        # every per-shard pallas kernel runs on its chip's slice. Batch
-        # (and the carry rows) must divide the data axis size.
+        # every per-shard pallas kernel runs on its chip's slice. The
+        # batch (and the carry rows) must be a multiple of the data-axis
+        # size (checked in dispatch).
         from jax.sharding import PartitionSpec as _P
 
         spec = _P("data")
@@ -751,11 +798,18 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         step_carry = jax.jit(step, donate_argnums=(0,))
 
     def dispatch(carry, scan):
+        if mesh is not None and scan.shape[0] % mesh.shape["data"]:
+            # shard_map splits the batch across the data axis; a
+            # non-multiple batch would surface as an opaque shard_map error
+            raise ValueError(
+                f"batch {scan.shape[0]} must be a multiple of the mesh "
+                f"data-axis size {mesh.shape['data']}")
         if carry is None:
             return step_boot(scan)
         return step_carry(carry, scan)
 
     dispatch.raw_step = step  # un-jitted cell for lax.scan composition
+    dispatch.calibration = calib  # persistable int8 scales (None if float)
     return dispatch
 
 
@@ -930,33 +984,60 @@ def make_sequence_processor(model, cutout_kwargs, num_pts: int = 450,
 class StreamingRunner:
     """Convenience wrapper holding variables + per-stream template state.
 
-    ``engine``: "module" (default) drives the f32 flax module path —
-    reference-exact, used by the parity tests; "v3" drives the fused
-    bf16 serve-v3 pallas pipeline (~4x faster per scan on TPU, bf16
-    tolerance; interpret mode auto-enabled off-TPU).
+    ``engine``:
+      * "module" (default) — the f32 flax module path, reference-exact
+        (used by the parity tests);
+      * "v3" — the fused bf16 serve-v3 pallas pipeline (~4x faster per
+        scan on TPU, bf16 tolerance; interpret mode auto-enabled off-TPU);
+      * "int8c" — the flagship int8 end-to-end pipeline (accuracy-gated
+        via the AP tests). Calibration scales come from ``calib`` (a
+        ``ServeCalibration`` or a path to one, e.g. a checkpoint dir);
+        without one, the runner self-calibrates on the FIRST batch it
+        sees (the step is built lazily), and the resulting scales are
+        exposed as ``runner.calibration`` for persisting.
+
+    ``calib_scans``: optional (B0, P) f32 scans to calibrate on eagerly
+    instead of the first batch.
     """
 
     def __init__(self, model, variables, cutout_kwargs, num_pts: int = 450,
                  nms_min_dist: float = 0.5, with_nms: bool = True,
-                 engine: str = "module"):
-        if engine == "v3":
-            import jax
-
-            self._step_v3 = make_serve_step_v3(
-                model, variables, cutout_kwargs, num_pts=num_pts,
-                nms_min_dist=nms_min_dist, with_nms=with_nms,
-                precision="bf16",
-                interpret=jax.default_backend() == "cpu",
-            )
-            self._step = None
-        else:
+                 engine: str = "module", calib=None, calib_scans=None):
+        if engine not in ("module", "v3", "int8c"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self._engine = engine
+        self._variables = variables
+        self._template = None
+        self._step = self._step_v3 = None
+        self.calibration = None
+        if engine == "module":
             self._step = make_stream_step(
                 model, cutout_kwargs, num_pts, nms_min_dist, with_nms,
                 donate_template=False,
             )
-            self._step_v3 = None
-        self._variables = variables
-        self._template = None
+            return
+
+        import jax
+
+        if isinstance(calib, str):
+            from planar_optical_flow_tpu.infer.calibration import (
+                ServeCalibration,
+            )
+
+            calib = ServeCalibration.load(calib)
+        self._build_v3 = lambda **kw: make_serve_step_v3(
+            model, variables, cutout_kwargs, num_pts=num_pts,
+            nms_min_dist=nms_min_dist, with_nms=with_nms,
+            precision="bf16" if engine == "v3" else "int8c",
+            interpret=jax.default_backend() == "cpu", **kw,
+        )
+        if engine == "v3":
+            self._step_v3 = self._build_v3()
+        elif calib is not None or calib_scans is not None:
+            self._step_v3 = self._build_v3(calib=calib,
+                                           calib_scans=calib_scans)
+            self.calibration = self._step_v3.calibration
+        # else: lazy — built on the first __call__ (self-calibrating)
 
     def reset(self):
         self._template = None
@@ -964,9 +1045,12 @@ class StreamingRunner:
     def __call__(self, scan: np.ndarray) -> dict:
         """Process one ``(B, P)`` scan batch; returns numpy outputs."""
         scan = jnp.asarray(scan, dtype=jnp.float32)
-        if self._step_v3 is not None:
-            self._template, out = self._step_v3(self._template, scan)
-        else:
+        if self._step is not None:
             self._template, out = self._step(self._variables,
                                              self._template, scan)
+            return out
+        if self._step_v3 is None:  # lazy int8c: calibrate on this batch
+            self._step_v3 = self._build_v3(calib_scans=np.asarray(scan))
+            self.calibration = self._step_v3.calibration
+        self._template, out = self._step_v3(self._template, scan)
         return out

@@ -375,9 +375,23 @@ def fused_head_v2(feats_flat, conv_weights, head_weights,
 # ---------------------------------------------------------------------------
 
 
+def stack_act_scales(block_param_list, sample, pool_after, in_scale=None):
+    """Calibrate a conv stack: representative f32 ``sample`` (N, L, Cin) ->
+    (in_scale, per-layer activation scales). The scales are plain floats —
+    persist them (see ``infer/calibration.py``) to rebuild the int8 kernels
+    without re-running calibration data."""
+    from planar_optical_flow_tpu.ops import quantized_drow as qd
+
+    sample = np.asarray(sample, np.float32)
+    if in_scale is None:
+        in_scale = max(float(np.abs(sample).max()), 1e-6) / 127.0
+    return qd.calibrate(block_param_list, set(pool_after), sample,
+                        in_scale=in_scale)
+
+
 def quantize_stack_int8(block_param_list, sample, l0, pool_after,
                         in_scale=None, dequant_last=True,
-                        concat_taps=False):
+                        concat_taps=False, act_scales=None):
     """Folded f32 (w (3,Cin,Cout), b) list -> int8 kernel weights.
 
     ``sample``: (N, L, Cin) f32 representative input of the stack (POST
@@ -386,17 +400,20 @@ def quantize_stack_int8(block_param_list, sample, l0, pool_after,
     single-matmul ``conv_mode="cat"`` kernels — in_scale,
     out_scale-or-None).
 
+    With ``in_scale`` AND ``act_scales`` (e.g. restored from a persisted
+    :class:`infer.calibration.ServeCalibration`) no sample is needed.
+
     Per layer i: q_{i+1} = clip(rint(leaky(acc_i32 * s_eff + b_eff))) with
     s_eff = s_in * w_scale / s_out and b_eff = b / s_out; the last layer
     dequantizes (s_eff = s_in * w_scale, b_eff = b) when ``dequant_last``.
     """
     from planar_optical_flow_tpu.ops import quantized_drow as qd
 
-    sample = np.asarray(sample, np.float32)
-    if in_scale is None:
-        in_scale = max(float(np.abs(sample).max()), 1e-6) / 127.0
-    _, act_scales = qd.calibrate(block_param_list, set(pool_after), sample,
-                                 in_scale=in_scale)
+    if act_scales is None:
+        in_scale, act_scales = stack_act_scales(
+            block_param_list, sample, pool_after, in_scale=in_scale)
+    elif in_scale is None:
+        raise ValueError("act_scales requires an explicit in_scale")
     flat = []
     s_in = in_scale
     n = len(block_param_list)
@@ -489,6 +506,48 @@ def _shift_rows_int8(xq, l):
     left = pltpu.bitcast(down & keep_down, jnp.int8)
     right = pltpu.bitcast(up & keep_up, jnp.int8)
     return left, right
+
+
+_BYTE_SHIFT_OK: dict = {}
+
+
+def check_byte_shift(interpret: bool = False):
+    """One-time known-answer check of :func:`_shift_rows_int8` on the
+    current backend.
+
+    The byte-shift tap realization assumes little-endian sublane packing
+    of ``pltpu.bitcast`` (validated on v5e); on a platform where that does
+    not hold the taps would be silently wrong, so the "cat" kernels run
+    this tiny self-check once per process before first use.
+    """
+    backend = jax.default_backend() + ("/interpret" if interpret else "")
+    if _BYTE_SHIFT_OK.get(backend):
+        return
+    rows, c, l = 8, 128, 4
+    x = np.arange(rows * c, dtype=np.int64).reshape(rows, c)
+    x = ((x * 37 + 11) % 251 - 125).astype(np.int8)
+
+    def kernel(x_ref, l_ref, r_ref):
+        left, right = _shift_rows_int8(x_ref[:], l)
+        l_ref[:] = left
+        r_ref[:] = right
+
+    left, right = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((rows, c), jnp.int8),) * 2,
+        interpret=interpret,
+    )(jnp.asarray(x))
+    pos = np.arange(rows) % l
+    exp_left = np.where((pos == 0)[:, None], 0, np.roll(x, 1, axis=0))
+    exp_right = np.where((pos == l - 1)[:, None], 0, np.roll(x, -1, axis=0))
+    if (not np.array_equal(np.asarray(left), exp_left)
+            or not np.array_equal(np.asarray(right), exp_right)):
+        raise RuntimeError(
+            f"int8 byte-shift self-check failed on backend {backend!r}: "
+            "pltpu.bitcast sublane byte order differs from the validated "
+            "little-endian v5e packing; use conv_mode='3mm' on this "
+            "platform")
+    _BYTE_SHIFT_OK[backend] = True
 
 
 def _conv_int8_cat(xq, wcat, s_eff, b_eff, l):
@@ -723,9 +782,17 @@ def fused_backbone_int8_pm(act1_q, weights, l: int = 56, tile: int = 160,
     with_layer1 = layer1_weights is not None
     if with_layer1:
         n_rows, c1 = act1_q.shape
+        if n_rows % tile:
+            raise ValueError(
+                f"cutout rows {n_rows} not a multiple of tile {tile}; pad "
+                "streams to a tile multiple upstream")
         nb = n_rows // tile
     else:
         rows, c1 = act1_q.shape
+        if rows % (l * tile):
+            raise ValueError(
+                f"act1 rows {rows} not a multiple of l*tile = {l * tile}; "
+                "pad streams to a tile multiple upstream")
         nb = rows // (l * tile)
     grid = (nb,)
     l4 = l // 4
@@ -759,6 +826,183 @@ def fused_backbone_int8_pm(act1_q, weights, l: int = 56, tile: int = 160,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(act1_q, *weights)
+
+
+# ---------------------------------------------------------------------------
+# pack-2 ("p2") first stage for the pm backbone. probe_r3c measured the
+# tail's first two convs at ~1.3 ms each (B=128) vs a 0.2-0.3 ms int8 MXU
+# bound: 64-lane int8 activations stream at ~83 GB/s vs 233+ GB/s for
+# 128-lane rows, and K=192/N=64|128 wastes MXU tiles. Packing position
+# pairs (2p, 2p+1) into lane slots [0:64 | 64:128]:
+#   * rows halve (half the VPU/requant passes, full vregs),
+#   * conv2 becomes (rows/2, 4*64) @ (4*64, 2*64)  — K=256, N=128 exact,
+#   * conv3 becomes (rows/2, 4*64) @ (4*64, 2*128) — K=256, N=256 exact,
+#   * the block-1 max pool collapses to a lane-half max (pairs ARE the
+#     pool groups), landing exactly in the unpacked pm layout conv4 needs.
+# The packed weights interleave taps with zero blocks:
+#   [[w_l, 0], [w_c, w_l], [w_r, w_c], [0, w_r]]
+# so the int32 accumulation is BIT-IDENTICAL to the pm kernels (zeros add
+# nothing, f32 epilogues see the same values).
+# ---------------------------------------------------------------------------
+
+
+def pack2_conv_weights(wcat, s_eff, b_eff):
+    """Concat-tap int8 weight (3*Cin, Cout) -> packed (4*Cin, 2*Cout) with
+    epilogue scale/bias tiled over the two lane slots."""
+    wcat = np.asarray(wcat)
+    cin = wcat.shape[0] // 3
+    wl, wc, wr = wcat[:cin], wcat[cin:2 * cin], wcat[2 * cin:]
+    z = np.zeros_like(wl)
+    wp = np.concatenate([
+        np.concatenate([wl, z], axis=1),
+        np.concatenate([wc, wl], axis=1),
+        np.concatenate([wr, wc], axis=1),
+        np.concatenate([z, wr], axis=1),
+    ], axis=0)
+    tile2 = lambda a: jnp.asarray(np.tile(np.asarray(a).reshape(-1), 2))
+    return jnp.asarray(wp), tile2(s_eff), tile2(b_eff)
+
+
+def pack2_backbone_weights(bb_q):
+    """Flat pm backbone weights [wcat, s_eff, b_eff] x 5 (from
+    ``quantize_stack_int8(..., concat_taps=True)``) -> p2 weight list:
+    packed conv2/conv3 (conv3's epilogue kept UNPACKED — it applies after
+    the lane-half pool) + untouched conv4..conv6."""
+    w2p, s2p, b2p = pack2_conv_weights(bb_q[0], bb_q[1], bb_q[2])
+    w3p, _, _ = pack2_conv_weights(bb_q[3], bb_q[4], bb_q[5])
+    s3 = jnp.asarray(np.asarray(bb_q[4], np.float32).reshape(-1))
+    b3 = jnp.asarray(np.asarray(bb_q[5], np.float32).reshape(-1))
+    return [w2p, s2p, b2p, w3p, s3, b3] + list(bb_q[6:])
+
+
+def _taps_p2(x, tile):
+    """Packed tap build: [prev.slot1 | cur(2 slots) | next.slot0].
+
+    x: (rows2, 2*Cin) int8 packed rows; returns (rows2, 4*Cin). Row shifts
+    run on the FULL-lane tensor first (Mosaic cannot row-concat a
+    lane-offset slice), then the lane slices feed the dim-1 concat."""
+    cin = x.shape[1] // 2
+    z = jnp.zeros_like(x[:tile])
+    prev = jnp.concatenate([z, x[:-tile]], axis=0)
+    nxt = jnp.concatenate([x[tile:], z], axis=0)
+    return jnp.concatenate([prev[:, cin:], x, nxt[:, :cin]], axis=1)
+
+
+def _run_plan_int8_p2(xq, ws, l0, tile, requant_last=False):
+    """Backbone tail on packed rows: conv2p -> conv3p -> lane-half pool ->
+    pm conv4/conv5/conv6 -> pool. ``ws``: [w2p, s2p, b2p, w3p, s3, b3,
+    conv4.., conv5.., conv6..] (conv3's scale UNPACKED, applied post-pool).
+    xq: (l0/2 * tile, 128) packed int8 rows."""
+    w2p, s2p, b2p = ws[0][:], ws[1][:], ws[2][:]
+    w3p, s3, b3 = ws[3][:], ws[4][:], ws[5][:]
+    dn = (((1,), (0,)), ((), ()))
+    # conv2 packed: K=256, N=128
+    acc2 = jax.lax.dot_general(_taps_p2(xq, tile), w2p, dn,
+                               preferred_element_type=jnp.int32)
+    x = _requant(_scale_leaky(acc2.astype(jnp.float32), s2p, b2p))
+    # conv3 packed: K=256, N=256; pool the bare acc (monotone epilogue
+    # commutes with max; the two lane slots share per-channel scales)
+    acc3 = jax.lax.dot_general(_taps_p2(x, tile), w3p, dn,
+                               preferred_element_type=jnp.int32)
+    a3 = acc3.astype(jnp.float32)
+    half = a3.shape[1] // 2
+    pooled = jnp.maximum(a3[:, :half], a3[:, half:])
+    x = _requant(_scale_leaky(pooled, s3, b3))
+    # conv4..conv6 + final pool on the standard pm layout (l = l0 // 2)
+    return _run_plan_int8_pm(
+        x, ws[6:], (("conv",), ("conv",), ("conv",), ("pool",)),
+        l0 // 2, tile, requant_last=requant_last)
+
+
+def _layer1_p2(cut, wc, b1, scale, l, tile):
+    """Backbone layer 1 emitting PACKED rows: cutout block (tile, l) f32 ->
+    (l/2 * tile, 128) int8 with positions (2p, 2p+1) in lane slots.
+
+    Same per-element math as :func:`_layer1_pm` (bit-identical values,
+    different placement)."""
+    z = jnp.zeros_like(cut[:, :1])
+    xm = jnp.concatenate([z, cut[:, :-1]], axis=1)
+    xp = jnp.concatenate([cut[:, 1:], z], axis=1)
+
+    def act(p):
+        a = (xm[:, p:p + 1] * wc[0:1] + cut[:, p:p + 1] * wc[1:2]
+             + xp[:, p:p + 1] * wc[2:3]) + b1
+        return jnp.where(a > 0, a, _LEAKY_SLOPE * a)
+
+    rows = []
+    for p2 in range(l // 2):
+        rows.append(jnp.concatenate([act(2 * p2), act(2 * p2 + 1)], axis=1))
+    act1 = jnp.concatenate(rows, axis=0) / scale
+    return jnp.clip(jnp.rint(act1), -127, 127).astype(jnp.int8)
+
+
+def _backbone_int8_p2_kernel(x_ref, *refs, l0, tile, with_embed=False,
+                             requant_last=False, in_scale=1.0):
+    refs, l1w = refs[2:], refs[:2]
+    if with_embed:
+        out_ref, z_ref = refs[-2], refs[-1]
+        ws = refs[:-4]
+        ws_embed = refs[-4:-2]
+    else:
+        out_ref = refs[-1]
+        ws = refs[:-1]
+    x = _layer1_p2(x_ref[:].astype(jnp.float32), l1w[0][:], l1w[1][:],
+                   in_scale, l0, tile)
+    out = _run_plan_int8_p2(x, ws, l0, tile, requant_last=requant_last)
+    out_ref[:] = out.astype(out_ref.dtype)
+    if with_embed:
+        _embed_epilogue_pm(out, ws_embed, z_ref, jnp.bfloat16, tile, l0 // 4)
+
+
+@functools.partial(jax.jit, static_argnames=("l", "tile", "out_dtype",
+                                             "in_scale", "interpret"))
+def fused_backbone_int8_p2(cutouts, weights, layer1_weights, l: int = 56,
+                           tile: int = 160, out_dtype=jnp.int8,
+                           embed_weights=None, in_scale: float = 1.0,
+                           interpret: bool = False):
+    """Pack-2 pm backbone: raw CUTOUT rows (NB*tile, l) f32 in
+    (stream, cutout) order -> feats (NB*l4*tile, 256) int8 position-major
+    (IDENTICAL layout and bit-identical values to
+    :func:`fused_backbone_int8_pm` with ``layer1_weights``), ~1.3 ms
+    faster at serving shape (probe_r3c). ``weights`` from
+    :func:`pack2_backbone_weights`."""
+    n_rows, c1 = cutouts.shape
+    if n_rows % tile:
+        raise ValueError(
+            f"cutout rows {n_rows} not a multiple of tile {tile}")
+    if l % 4:
+        raise ValueError("l must be a multiple of 4")
+    nb = n_rows // tile
+    grid = (nb,)
+    l4 = l // 4
+    with_embed = embed_weights is not None
+    kernel = functools.partial(_backbone_int8_p2_kernel, l0=l, tile=tile,
+                               with_embed=with_embed,
+                               requant_last=out_dtype == jnp.int8,
+                               in_scale=float(in_scale))
+    weights = (list(layer1_weights) + list(weights)
+               + (list(embed_weights) if with_embed else []))
+    out_shape = jax.ShapeDtypeStruct((nb * l4 * tile, 256), out_dtype)
+    out_spec = pl.BlockSpec((l4 * tile, 256), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    if with_embed:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((nb * tile, 128), jnp.bfloat16))
+        out_spec = (out_spec,
+                    pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[pl.BlockSpec((tile, c1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM) for w in weights],
+        out_specs=out_spec,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(cutouts, *weights)
 
 
 def _head_int8_pm_kernel(x_ref, *refs, l0, tile, compute_dtype):
@@ -855,7 +1099,9 @@ def fused_backbone_int8(act1_q, weights, l: int = 56, tile: int = 64,
 
     ``conv_mode="cat"`` (weights from ``quantize_stack_int8(...,
     concat_taps=True)``): taps as int8 row shifts + ONE matmul per layer at
-    3x contraction depth; bit-identical results to "3mm"."""
+    3x contraction depth; bit-identical results to "3mm". Callers on
+    un-validated platforms should run :func:`check_byte_shift` once
+    (outside jit) before using the "cat" mode."""
     nl, c1 = act1_q.shape
     n = nl // l
     n_pad = _pad_rows(n, tile)

@@ -11,7 +11,10 @@ template (in place, over the carry), z, sim band and cls/reg logits —
 features never touch HBM.
 
 All math is shared with (and bit-identical to) the position-major kernels
-in :mod:`conv_stack` / :mod:`..infer.fast_gate` at ``tile == ct``: the
+in :mod:`conv_stack` / :mod:`..infer.fast_gate` at ``tile == ct`` —
+enforced by the direct cell-vs-pm parity test
+(``tests/test_int8_serving_gate.py::test_serve_cell_matches_pm_direct``,
+int8 carries within 1 LSB): the
 k=3 conv taps are whole-``ct``-row slice-concats, pools pair adjacent
 position row-groups, the gate mixes each position's (ct, 256) template
 slice with one int8 MXU matmul against the banded-attention matrix.

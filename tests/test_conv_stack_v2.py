@@ -248,3 +248,41 @@ def test_head_int8_pm_matches_cm(rng):
         interpret=True)
     np.testing.assert_array_equal(np.asarray(c_pm), np.asarray(c_cm))
     np.testing.assert_array_equal(np.asarray(r_pm), np.asarray(r_cm))
+
+
+def test_backbone_int8_p2_matches_pm():
+    """Pack-2 first stage is BIT-IDENTICAL to the pm backbone (the packed
+    weights only add zero blocks to the int32 accumulation)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    l, tile, nb = 8, 32, 2
+    CH = [(64, 64), (64, 128), (128, 128), (128, 128), (128, 256)]
+    bb_q = []
+    for ci, co in CH:
+        bb_q += [
+            jnp.asarray(rng.integers(-127, 128, (3 * ci, co)), jnp.int8),
+            jnp.asarray(rng.uniform(1e-3, 2e-3, (co,)), jnp.float32),
+            jnp.asarray(rng.normal(size=(co,)) * 0.1, jnp.float32),
+        ]
+    l1w = (jnp.asarray(rng.normal(size=(3, 64)) * 0.3, jnp.float32),
+           jnp.asarray(rng.normal(size=(1, 64)) * 0.1, jnp.float32))
+    embed_w = (
+        jnp.asarray(rng.normal(size=(l // 4 * 256, 128)) * 0.01, jnp.float32),
+        jnp.asarray(rng.normal(size=(128,)) * 0.01, jnp.float32),
+    )
+    cut = jnp.asarray(rng.uniform(-1, 1, (nb * tile, l)), jnp.float32)
+
+    f_pm, z_pm = cs.fused_backbone_int8_pm(
+        cut, bb_q, l=l, tile=tile, out_dtype=jnp.int8,
+        embed_weights=embed_w, layer1_weights=l1w, in_scale=0.01,
+        interpret=True)
+    f_p2, z_p2 = cs.fused_backbone_int8_p2(
+        cut, cs.pack2_backbone_weights(bb_q), l1w, l=l, tile=tile,
+        out_dtype=jnp.int8, embed_weights=embed_w, in_scale=0.01,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(f_pm), np.asarray(f_p2))
+    np.testing.assert_allclose(np.asarray(z_pm, np.float32),
+                               np.asarray(z_p2, np.float32),
+                               rtol=1e-2, atol=1e-2)

@@ -1,0 +1,243 @@
+"""CI enforcement of the int8 serving accuracy contract.
+
+Round-2 left the int8 accuracy gate as a manual real-TPU script
+(``experiments/validate_int8_ap.py``); these tests make the contract a
+pytest property so a calibration or requant regression fails CI:
+
+* the trained-detector AP gate (slow): f32 module vs int8c serve-v3 AP on
+  a synthetic corpus must agree within epsilon — this also pins the
+  serving default's ``nms_top_k=64`` semantics against the full-P NMS the
+  module path uses,
+* adversarial top-k NMS equivalence: >64 clustered above-threshold votes,
+* serve_cell vs pm carry-step parity (direct, not via the f32 reference),
+* calibration persistence: a step rebuilt from saved scales is bit-
+  identical to the step that produced them.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from planar_optical_flow_tpu.ops.nms import (
+    nms_predicted_center,
+    nms_predicted_center_topk,
+)
+
+CUTOUT_KW = dict(fixed=True, centered=True, window_width=1.0,
+                 window_depth=0.5, num_cutout_pts=16, padding_val=29.99,
+                 area_mode=True, gather_mode="matmul")
+
+
+def _small_model(num_pts=64, window=5):
+    from planar_optical_flow_tpu.models import FlowDrow
+
+    model = FlowDrow(window_size=window, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    cur = jnp.zeros((1, num_pts))
+    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+    return model, variables
+
+
+def test_nms_topk_adversarial_clusters():
+    """>top_k above-threshold votes in tight clusters: the kept detections
+    of the top-64 serving NMS must equal the full-P oracle's (the
+    exactness claim at ops/nms.py:19-28, tested instead of argued)."""
+    num_pts = 450
+    rng = np.random.default_rng(0)
+    phi = np.linspace(-1.9, 1.9, num_pts).astype(np.float32)
+    scan = np.full(num_pts, 5.0, np.float32)
+    # 3 clusters of ~120 votes each: all vote for (nearly) the same center
+    conf = rng.uniform(0.01, 0.2, (num_pts, 1)).astype(np.float32)
+    reg = rng.normal(0, 3.0, (num_pts, 2)).astype(np.float32)
+    centers = [(0.0, 4.0), (1.5, 4.5), (-2.0, 6.0)]
+    for ci, (cx, cy) in enumerate(centers):
+        idx = np.arange(ci * 120, ci * 120 + 120)
+        conf[idx, 0] = rng.uniform(0.6, 0.99, 120)
+        # construct canonical votes by inverting canonical_to_global so the
+        # global vote lands near (cx, cy)
+        from planar_optical_flow_tpu.ops.geometry import (
+            xy_to_rphi, global_to_canonical,
+        )
+
+        jitter = rng.normal(0, 0.03, (120, 2))
+        r_t, phi_t = xy_to_rphi(cx + jitter[:, 0], cy + jitter[:, 1])
+        dx, dy = global_to_canonical(scan[idx], phi[idx], r_t, phi_t)
+        reg[idx, 0] = dx
+        reg[idx, 1] = dy
+
+    full = nms_predicted_center(jnp.asarray(scan), jnp.asarray(phi),
+                                jnp.asarray(conf), jnp.asarray(reg))
+    topk = nms_predicted_center_topk(jnp.asarray(scan), jnp.asarray(phi),
+                                     jnp.asarray(conf), jnp.asarray(reg),
+                                     top_k=64)
+    kept_full = np.asarray(full[0])[np.asarray(full[2])]
+    conf_full = np.asarray(full[1])[np.asarray(full[2]), 0]
+    kept_topk = np.asarray(topk[0])[np.asarray(topk[2])]
+    conf_topk = np.asarray(topk[1])[np.asarray(topk[2]), 0]
+    # every full-NMS detection above the lowest top-k confidence must be
+    # kept identically by the top-k variant
+    floor = np.sort(np.asarray(conf)[:, 0])[-64]
+    sel = conf_full >= floor
+    assert sel.sum() >= 3  # the three clusters survive
+    order_f = np.argsort(-conf_full[sel])
+    order_t = np.argsort(-conf_topk)
+    np.testing.assert_allclose(kept_full[sel][order_f],
+                               kept_topk[order_t][: sel.sum()],
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(conf_full[sel][order_f],
+                               conf_topk[order_t][: sel.sum()],
+                               rtol=0, atol=1e-7)
+
+
+def test_serve_cell_matches_pm_direct():
+    """layout="cell" (whole-cell mega-kernel) must match layout="pm"
+    step-for-step on the SAME inputs — int8 carries equal to 1 LSB,
+    f32 outputs tight (ADVICE r2: tested directly, not just vs f32)."""
+    from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
+
+    num_pts = 64
+    model, variables = _small_model(num_pts=num_pts)
+    rng = np.random.default_rng(1)
+    calib = rng.uniform(0.5, 20.0, (2, num_pts)).astype(np.float32)
+
+    # pm_tile == p_pad (64) for both so the pm row order coincides with the
+    # cell layout (one tile block per stream) and carries compare directly
+    steps = {
+        layout: make_serve_step_v3(
+            model, variables, CUTOUT_KW, calib_scans=calib,
+            num_pts=num_pts, with_nms=False, precision="int8c",
+            layout=layout, pm_tile=64, tile=16, interpret=True)
+        for layout in ("pm", "cell")
+    }
+    carries = {k: None for k in steps}
+    outs = {}
+    for i in range(3):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (2, num_pts)),
+                           jnp.float32)
+        for k, s in steps.items():
+            carries[k], outs[k] = s(carries[k], scan)
+        # pm tile == cell tile (=p_pad) only when cell; compare via the
+        # cutout-major view: pm at tile=p_pad has identical row order
+        t_pm = np.asarray(carries["pm"]["template"], np.int32)
+        t_cell = np.asarray(carries["cell"]["template"], np.int32)
+        assert np.abs(t_pm - t_cell).max() <= 1, i
+        np.testing.assert_allclose(
+            np.asarray(carries["pm"]["z"], np.float32),
+            np.asarray(carries["cell"]["z"], np.float32),
+            rtol=2e-2, atol=2e-2)
+        for key in ("pred_cls", "pred_reg", "pred_flow"):
+            np.testing.assert_allclose(
+                np.asarray(outs["pm"][key], np.float32),
+                np.asarray(outs["cell"][key], np.float32),
+                rtol=5e-2, atol=5e-2, err_msg=f"step {i} {key}")
+
+
+def test_calibration_roundtrip(tmp_path):
+    """Persisted scales rebuild a bit-identical int8c step; the runner
+    self-calibrates lazily and exposes the scales."""
+    from planar_optical_flow_tpu.infer.streaming import (
+        make_serve_step_v3, StreamingRunner,
+    )
+    from planar_optical_flow_tpu.infer.calibration import ServeCalibration
+
+    num_pts = 64
+    model, variables = _small_model(num_pts=num_pts)
+    rng = np.random.default_rng(2)
+    calib_scans = rng.uniform(0.5, 20.0, (2, num_pts)).astype(np.float32)
+
+    s1 = make_serve_step_v3(model, variables, CUTOUT_KW,
+                            calib_scans=calib_scans, num_pts=num_pts,
+                            with_nms=False, precision="int8c", tile=16,
+                            interpret=True)
+    assert s1.calibration is not None
+    path = s1.calibration.save(str(tmp_path))
+    restored = ServeCalibration.load(path)
+    assert restored == s1.calibration
+    assert ServeCalibration.find(str(tmp_path)) == s1.calibration
+
+    s2 = make_serve_step_v3(model, variables, CUTOUT_KW, calib=restored,
+                            num_pts=num_pts, with_nms=False,
+                            precision="int8c", tile=16, interpret=True)
+    c1 = c2 = None
+    for _ in range(2):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (2, num_pts)),
+                           jnp.float32)
+        c1, o1 = s1(c1, scan)
+        c2, o2 = s2(c2, scan)
+        np.testing.assert_array_equal(np.asarray(c1["template"]),
+                                      np.asarray(c2["template"]))
+        np.testing.assert_array_equal(np.asarray(o1["pred_cls"]),
+                                      np.asarray(o2["pred_cls"]))
+
+    # lazy self-calibrating runner: no calib anywhere, first batch decides
+    runner = StreamingRunner(model, variables, CUTOUT_KW, num_pts=num_pts,
+                             with_nms=False, engine="int8c")
+    assert runner.calibration is None
+    out = runner(calib_scans)
+    assert runner.calibration is not None
+    assert out["pred_cls"].shape[0] == 2
+
+
+@pytest.mark.slow
+def test_int8c_ap_gate(tmp_path):
+    """THE accuracy gate: detection AP through the flagship int8c serving
+    pipeline stays within epsilon of the f32 module path on a trained
+    detector. Covers calibration, the int8 kernels, the int8 template
+    carry, AND the serve default nms_top_k=64 (the module path runs
+    full-P NMS — a top-k exactness break would show up as AP drift)."""
+    from planar_optical_flow_tpu.data import (
+        write_synthetic_drow_split, DrowDetectionDataset, BatchLoader,
+    )
+    from planar_optical_flow_tpu.models import get_model
+    from planar_optical_flow_tpu.train import (
+        create_train_state, make_optimizer, tasks,
+    )
+    from planar_optical_flow_tpu.eval import evaluate_detection_ap_batched
+
+    d = str(tmp_path)
+    write_synthetic_drow_split(d, "train", num_sequences=1, num_frames=40,
+                               num_people=3, seed=5)
+    ds = DrowDetectionDataset(d, "train", num_scans=2, pedestrian_only=True)
+    loader = BatchLoader(ds, batch_size=8, seed=0)
+
+    model = get_model({"type": "dr-spaam", "window_size": 5,
+                       "pedestrian_only": True})
+    task = tasks.DetectionTask(cutout_kwargs=CUTOUT_KW, pedestrian_only=True)
+    tx = make_optimizer(
+        {"scheduler_kwargs": {"epoch0": 0, "lr0": 1e-3, "epoch1": 20,
+                              "lr1": 1e-3}},
+        steps_per_epoch=len(loader),
+    )
+    x = jnp.zeros((8, 450, 3, 16))
+    state = create_train_state(model, (x,), tx, init_kwargs={"train": False})
+
+    @jax.jit
+    def step(state, batch, rng_key):
+        def loss_fn(params):
+            loss, tb, _, stats = task.loss(
+                state.apply_fn,
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, True, rng_key,
+            )
+            return loss, stats
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return state.apply_gradients(grads, stats), loss
+
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        for batch in loader:
+            key, sk = jax.random.split(key)
+            state, loss = step(state, batch, sk)
+
+    common = dict(cutout_kwargs=CUTOUT_KW, frames=ds, conf_thresh=0.3,
+                  batch_streams=8)
+    ap_f32 = evaluate_detection_ap_batched(
+        model, state.variables, engine="module", **common)["ap"]
+    ap_int8 = evaluate_detection_ap_batched(
+        model, state.variables, engine="int8c", **common)["ap"]
+    assert ap_f32 > 0.2, ap_f32  # the detector actually learned something
+    assert abs(ap_int8 - ap_f32) < 0.05, (ap_int8, ap_f32)
