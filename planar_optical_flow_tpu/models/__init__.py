@@ -31,4 +31,5 @@ from planar_optical_flow_tpu.models.adaboost_detector import (  # noqa: F401
     AdaBoostPersonDetector,
     BoostedSegmentClassifier,
 )
+from planar_optical_flow_tpu.models.polar_grid_net import PolarGridDetector  # noqa: F401
 from planar_optical_flow_tpu.models.registry import get_model, MODEL_REGISTRY  # noqa: F401

@@ -13,6 +13,7 @@ from planar_optical_flow_tpu.models.drow import Drow
 from planar_optical_flow_tpu.models.spatial_drow import SpatialDrow
 from planar_optical_flow_tpu.models.flow_drow import FlowDrow
 from planar_optical_flow_tpu.models.pointnet import BoundingBoxRegressor
+from planar_optical_flow_tpu.models.polar_grid_net import PolarGridDetector
 
 
 def _build_box_reg(cfg):
@@ -66,6 +67,14 @@ def _build_flow_drow(cfg):
     )
 
 
+def _build_fc_detector(cfg):
+    return PolarGridDetector(
+        num_classes=1 if cfg.get("pedestrian_only", False) else 4,
+        hidden=cfg.get("hidden", 256),
+        dropout=cfg.get("dropout", 0.0),
+    )
+
+
 MODEL_REGISTRY = {
     "box_reg": _build_box_reg,
     "flow_unet": _build_flow_unet,
@@ -75,6 +84,11 @@ MODEL_REGISTRY = {
     "dr-spaam": _build_spatial_drow,
     "spatial_drow": _build_spatial_drow,
     "flow_drow": _build_flow_drow,
+    # fc-family detectors (reference fc1d/fc1d_fea/fc2d encodings,
+    # dataset_dr_spaam.py:437-460; model was never shipped upstream)
+    "fc1d": _build_fc_detector,
+    "fc1d_fea": _build_fc_detector,
+    "fc2d": _build_fc_detector,
 }
 
 

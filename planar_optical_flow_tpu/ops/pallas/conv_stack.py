@@ -847,8 +847,13 @@ def fused_backbone_int8_pm(act1_q, weights, l: int = 56, tile: int = 160,
 
 
 def pack2_conv_weights(wcat, s_eff, b_eff):
-    """Concat-tap int8 weight (3*Cin, Cout) -> packed (4*Cin, 2*Cout) with
-    epilogue scale/bias tiled over the two lane slots."""
+    """Concat-tap int8 weight (3*Cin, Cout) -> packed (6*Cin, 2*Cout) with
+    epilogue scale/bias tiled over the two lane slots.
+
+    The packed tap input is [prev.slot1 | cur (2 slots) | next.slot0]
+    (probe_r3e "p2s": K=4*Cin exact MXU passes, ~5x faster than the
+    unpacked pm conv at serving shape); input slots hit weight row-blocks
+    [w_l,0; w_c,w_l; w_r,w_c; 0,w_r]."""
     wcat = np.asarray(wcat)
     cin = wcat.shape[0] // 3
     wl, wc, wr = wcat[:cin], wcat[cin:2 * cin], wcat[2 * cin:]
@@ -876,11 +881,13 @@ def pack2_backbone_weights(bb_q):
 
 
 def _taps_p2(x, tile):
-    """Packed tap build: [prev.slot1 | cur(2 slots) | next.slot0].
+    """Packed tap build: [prev.slot1 | cur (2 slots) | next.slot0].
 
     x: (rows2, 2*Cin) int8 packed rows; returns (rows2, 4*Cin). Row shifts
-    run on the FULL-lane tensor first (Mosaic cannot row-concat a
-    lane-offset slice), then the lane slices feed the dim-1 concat."""
+    run on the full-lane tensor (Mosaic cannot row-concat a lane-offset
+    slice); the lane-offset slices then feed the dim-1 concat, which
+    Mosaic handles (probe_r3e: this form beats both the unpacked pm conv
+    and the zero-padded 6-slot form by a wide margin)."""
     cin = x.shape[1] // 2
     z = jnp.zeros_like(x[:tile])
     prev = jnp.concatenate([z, x[:-tile]], axis=0)

@@ -44,6 +44,10 @@ def normalize_config(cfg: dict) -> dict:
             "cutout_gating": "dr-spaam",
             "cutout_spatial": "flow_drow" if cfg.get("with_flow", True)
             else "dr-spaam",
+            # fc-family encodings (reference dataset_dr_spaam.py:437-460)
+            "fc1d": "fc1d",
+            "fc1d_fea": "fc1d_fea",
+            "fc2d": "fc2d",
         }.get(net, "dr-spaam")
     sim = cfg.get("similarity_kwargs", {})
     nested = {
@@ -69,6 +73,8 @@ def normalize_config(cfg: dict) -> dict:
             "window_size": sim.get("window_size", 7),
             "pedestrian_only": cfg.get("pedestrian_only", False),
             "focal_loss_gamma": cfg.get("focal_loss_gamma", 0.0),
+            "fused_frozen_detector": cfg.get("fused_frozen_detector",
+                                             False),
         },
         "pipeline": {
             "Trainer": {
@@ -109,7 +115,23 @@ def _build_task(cfg: dict):
         focal_loss_gamma=cfg["model"].get("focal_loss_gamma", 0.0),
         pedestrian_only=cfg["model"].get("pedestrian_only", False),
     )
+    if mtype in ("fc1d", "fc1d_fea", "fc2d"):
+        return tasks.DetectionTask(
+            **common, encoding=mtype,
+            polar_grid_kwargs=ds.get("polar_grid_kwargs", {}),
+        )
     if mtype == "flow_drow":
+        # fused_frozen_detector: run the frozen detector on the serving
+        # kernels inside the train step (~3x faster; tasks.FlowDrowFusedTask)
+        if cfg["model"].get("fused_frozen_detector"):
+            import jax as _jax
+
+            return tasks.FlowDrowFusedTask(
+                **common,
+                alpha=cfg["model"].get("alpha", 0.5),
+                window_size=cfg["model"].get("window_size", 7),
+                interpret=_jax.default_backend() == "cpu",
+            )
         return tasks.FlowDrowTask(**common)
     return tasks.DetectionTask(**common)
 
@@ -168,6 +190,17 @@ def _example_inputs(cfg: dict, batch_size: int):
         return (jnp.zeros((batch_size, size, in_dim)),)
     n_ct = ds.get("cutout_kwargs", {}).get("num_cutout_pts", 48)
     s = ds.get("num_scans", 5) + 1
+    if mtype in ("fc1d", "fc1d_fea", "fc2d"):
+        # (B, S, R, P) per-beam feature columns (models/polar_grid_net.py)
+        if mtype == "fc1d":
+            r = 1
+        elif mtype == "fc1d_fea":
+            r = n_ct
+        else:
+            pg = ds.get("polar_grid_kwargs", {})
+            r = int((pg.get("max_range", 30.0) - pg.get("min_range", 0.0))
+                    / pg.get("range_bin_size", 1.0)) + 1
+        return (jnp.zeros((batch_size, s, r, 450)),)
     x = jnp.zeros((batch_size, 450, s, n_ct))
     if mtype == "flow_drow":
         return (x, jnp.zeros((batch_size, 450)))

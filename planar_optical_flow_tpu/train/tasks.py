@@ -60,15 +60,24 @@ class FlowUNetTask:
 @dataclass(frozen=True)
 class DetectionTask:
     """DROW / DR-SPAAM person detection (reference ``bin/train_obj_det.py``
-    + ``eval_utils.model_fn_obj_det``). Cutout encoding runs on device
-    inside the jitted step."""
+    + ``eval_utils.model_fn_obj_det``). Input encoding runs on device
+    inside the jitted step.
+
+    ``encoding`` selects the reference's network-input family
+    (``dataset_dr_spaam.py:437-460``): "cutout" (default; depth windows),
+    "fc1d" (raw per-beam ranges), "fc1d_fea" (transposed cutouts) or
+    "fc2d" (TSDF polar grid via ``polar_grid_kwargs``) — the fc encodings
+    produce ``(B, S, R, P)`` columns for :class:`models.PolarGridDetector`.
+    """
 
     cutout_kwargs: dict = field(default_factory=dict)
     focal_loss_gamma: float = 0.0
     pedestrian_only: bool = False
     num_pts: int = 450
+    encoding: str = "cutout"
+    polar_grid_kwargs: dict = field(default_factory=dict)
 
-    def _encode(self, scans):
+    def _encode_cutout(self, scans):
         kw = dict(self.cutout_kwargs)
         if kw.pop("area_mode", False):
             kw["area_mode"] = True
@@ -80,9 +89,25 @@ class DetectionTask:
         phi = get_laser_phi(num_pts=self.num_pts)
         return scans_to_cutout(scans, phi, **kw)
 
+    def _encode(self, scans):
+        if self.encoding == "fc1d":
+            # (B, S, P) raw ranges -> (B, S, 1, P) columns
+            return scans[..., None, :]
+        if self.encoding == "fc1d_fea":
+            # cutouts (B, P, S, L) -> (B, S, L, P) columns (the reference's
+            # transpose at dataset_dr_spaam.py:452-454)
+            return self._encode_cutout(scans).transpose(0, 2, 3, 1)
+        if self.encoding == "fc2d":
+            from planar_optical_flow_tpu.ops.polar_grid import (
+                scans_to_polar_grid,
+            )
+
+            return scans_to_polar_grid(scans, **self.polar_grid_kwargs)
+        return self._encode_cutout(scans)
+
     def forward(self, apply_fn, variables, batch, train, rng=None):
-        cutouts = self._encode(batch["scans"])
-        return _apply(apply_fn, variables, (cutouts,), {}, train, rng)
+        encoded = self._encode(batch["scans"])
+        return _apply(apply_fn, variables, (encoded,), {}, train, rng)
 
     def loss(self, apply_fn, variables, batch, train, rng=None):
         out, new_stats = self.forward(apply_fn, variables, batch, train, rng)
@@ -140,6 +165,79 @@ class FlowDrowTask(DetectionTask):
             {"pred_flow": pred_flow, "pred_cls": pred_cls,
              "pred_reg": pred_reg},
         )
+
+
+@dataclass(frozen=True)
+class FlowDrowFusedTask(FlowDrowTask):
+    """FlowDROW training with the FROZEN detector run on the fused
+    serving kernels (Pallas cutout + folded-BN bf16 conv stacks + banded
+    z-carry gate) instead of the flax module — ~3x faster step, legal
+    because no gradient flows through the detector (``stop_gradient``; the
+    reference freezes with ``requires_grad=False``, ``dr_spaam.py:294-298``).
+    Only the flow head (the trained part) runs through the module, exact
+    and with its BatchNorm stats updating.
+
+    Requires the fixed-geometry cutout config (``fixed=True, stride=1``)
+    and a ``flow_drow`` model with ``freeze_detector=True``. Eval
+    (:meth:`metrics`) keeps the exact module path.
+    """
+
+    alpha: float = 0.5
+    window_size: int = 7
+    interpret: bool = False
+
+    def loss(self, apply_fn, variables, batch, train, rng=None):
+        from planar_optical_flow_tpu.train.fused_frozen import (
+            frozen_detector_forward,
+        )
+
+        kw = self.cutout_kwargs
+        if not kw.get("fixed") or kw.get("stride", 1) != 1:
+            return super().loss(apply_fn, variables, batch, train, rng)
+
+        scans = batch["scans"]  # (B, S, P), scan S-1 current
+        det_vars = {
+            "params": variables["params"]["dr_spaam"],
+            "batch_stats": variables["batch_stats"]["dr_spaam"],
+        }
+        _, _, sim_band = frozen_detector_forward(
+            det_vars, scans, alpha=self.alpha,
+            window_size=self.window_size,
+            num_classes=1 if self.pedestrian_only else 4,
+            num_pts=self.num_pts,
+            ct_len=kw.get("num_cutout_pts", 48),
+            window_width=kw.get("window_width", 1.66),
+            window_depth=kw.get("window_depth", 1.0),
+            padding_val=kw.get("padding_val", 29.99),
+            centered=kw.get("centered", True),
+            area_mode=bool(kw.get("area_mode", False)),
+            interpret=self.interpret,
+        )
+        cur_scan = scans[:, -1]
+        # the flow head — the only trained submodule — runs in the module
+        # (exact math, BN stats update); grads reach only its params
+        rngs = {"dropout": rng} if rng is not None else None
+        if train:
+            pred_flow, mutated = apply_fn(
+                variables, sim_band.astype(cur_scan.dtype), cur_scan,
+                method=lambda m, s, c: m._flow_head(s, c, train=True),
+                mutable=["batch_stats"], rngs=rngs,
+            )
+            # merge: the mutated tree covers only the flow-head submodules
+            new_stats = dict(variables["batch_stats"])
+            new_stats.update(dict(mutated["batch_stats"]))
+        else:
+            pred_flow = apply_fn(
+                variables, sim_band.astype(cur_scan.dtype), cur_scan,
+                method=lambda m, s, c: m._flow_head(s, c, train=False),
+            )
+            new_stats = None
+        loss = ops.epe_loss(pred_flow, batch["target_flow"],
+                            batch["exclude_mask"])
+        pred_norm = ops.epe_loss(pred_flow, jnp.zeros_like(pred_flow),
+                                 batch["exclude_mask"])
+        tb = {"loss": loss, "avg_pred_norm": pred_norm}
+        return loss, tb, {"pred_flow": pred_flow}, new_stats
 
 
 @dataclass(frozen=True)
