@@ -60,7 +60,7 @@ def main():
         from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
 
         prec = path[3:].lstrip("-") or "bf16"
-        layout = os.environ.get("BENCH_LAYOUT", "pm")  # pm|p2|cell
+        layout = os.environ.get("BENCH_LAYOUT", "p2")  # p2|pm|cell
         v3 = make_serve_step_v3(
             model, variables, cutout_kwargs, calib_scans=np.asarray(scan[:8]),
             num_pts=num_pts, precision=prec, tile=128, layout=layout,

@@ -401,6 +401,73 @@ def gate_bootstrap(params: GateParams, x):
 # ---------------------------------------------------------------------------
 
 
+def _gate_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref,
+                                out_ref, z_ref, sim_ref, *, hw, alpha,
+                                ct, ct_valid, l4, tile, s_x, s_t, s_out):
+    """Whole-stream position-major int8 gate: ONE grid step per stream.
+
+    vs :func:`_gate_int8_pm_kernel` (grid (stream, position)): the banded
+    attention is built once and the l4 per-position mix matmuls run in the
+    same kernel body — no per-position grid overhead, and the (ct, ct)
+    attention never round-trips through scratch across grid steps.
+    Blocks: x/t/out (1, T, l4, tile, C); zx/zt/z (1, ct, 128);
+    sim (1, ct, win).
+    """
+    zx = zx_ref[0].astype(jnp.float32)  # (ct, 128)
+    zt = zt_ref[0].astype(jnp.float32)
+    ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
+    et = jnp.where(zt > 0, zt, _LEAKY_SLOPE * zt)
+
+    cols = []
+    for o in range(-hw, hw + 1):
+        sh = pltpu.roll(et, (-o) % ct, axis=0) if o else et
+        cols.append(jnp.sum(ex * sh, axis=-1, keepdims=True))
+    s = jnp.concatenate(cols, axis=1)  # (ct, 2hw+1)
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 0)
+    oi = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 1) - hw
+    valid = ((ri + oi >= 0) & (ri + oi < ct_valid) & (ri < ct_valid))
+    masked = jnp.where(valid, s, -1e10)
+    m = jnp.max(masked, axis=1, keepdims=True)
+    e = jnp.exp(masked - m)
+    e = jnp.where(valid, e, 0.0)
+    attn = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-20)
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
+    diag = cc - rr
+    attn_d = jnp.zeros((ct, ct), jnp.float32)
+    for k, o in enumerate(range(-hw, hw + 1)):
+        attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
+    attn_q = jnp.clip(jnp.rint(attn_d * 127.0), -127, 127).astype(jnp.int8)
+
+    zmix = jax.lax.dot_general(
+        attn_d.astype(jnp.bfloat16), zt_ref[0].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    z_ref[0] = (alpha * zx + (1.0 - alpha) * zmix).astype(z_ref.dtype)
+    c0 = jnp.sum(ex * et[0:1], axis=-1, keepdims=True)
+    c1 = jnp.sum(ex * et[ct_valid - 1:ct_valid], axis=-1, keepdims=True)
+    clamped = jnp.where(ri + oi < 0, c0, c1)
+    sim_ref[0] = jnp.where(valid, s, clamped).astype(sim_ref.dtype)
+
+    t_blocks = ct // tile
+    for p in range(l4):
+        # per-position (ct, C) template slice: T tile-row groups stacked
+        t_p = t_ref[0, :, p].reshape(ct, -1)
+        x_p = x_ref[0, :, p].reshape(ct, -1)
+        mixed32 = jax.lax.dot_general(
+            attn_q, t_p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        mixed = mixed32.astype(jnp.float32) * (s_t / 127.0)
+        xf = x_p.astype(jnp.float32) * s_x
+        new_t = alpha * xf + (1.0 - alpha) * mixed
+        out_ref[0, :, p] = jnp.clip(
+            jnp.rint(new_t / s_out), -127, 127
+        ).astype(jnp.int8).reshape(t_blocks, tile, t_p.shape[-1])
+
+
 def _gate_int8_pm_kernel(zx_ref, zt_ref, x_ref, t_ref,
                          out_ref, z_ref, sim_ref, attn_scr, *, hw, alpha,
                          ct, ct_valid, s_x, s_t, s_out):
@@ -468,10 +535,11 @@ def _gate_int8_pm_kernel(zx_ref, zt_ref, x_ref, t_ref,
 @functools.partial(jax.jit, static_argnames=("ct", "tile", "l4", "alpha",
                                              "window_size", "ct_valid",
                                              "s_x", "s_t", "s_out",
-                                             "interpret"))
+                                             "per_stream", "interpret"))
 def gate_fused_int8_pm(zx, zt, x_q, t_q, ct: int, tile: int, l4: int,
                        alpha: float, window_size: int, s_x: float,
                        s_t: float, s_out: float, ct_valid: int | None = None,
+                       per_stream: bool = False,
                        interpret: bool = False):
     """int8-carry fused gate on POSITION-MAJOR flat arrays.
 
@@ -480,6 +548,11 @@ def gate_fused_int8_pm(zx, zt, x_q, t_q, ct: int, tile: int, l4: int,
     with T = ct // tile (the layout emitted by
     ``fused_backbone_int8_pm``). Returns (new_template int8 same layout,
     new_z, sim_band (S*ct, window) f32).
+
+    ``per_stream``: one grid step per stream running all l4 position
+    mixes in-kernel (fewer grid steps, attention built once per stream
+    with no scratch round-trip). Default False = the round-2
+    (stream, position) grid with the attention cached in VMEM scratch.
     """
     n, c = x_q.shape
     zdim = zx.shape[-1]
@@ -491,6 +564,39 @@ def gate_fused_int8_pm(zx, zt, x_q, t_q, ct: int, tile: int, l4: int,
     zt5 = zt.reshape(s_streams, ct, zdim)
     x5 = x_q.reshape(s_streams, t_blocks, l4, tile, c)
     t5 = t_q.reshape(s_streams, t_blocks, l4, tile, c)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if per_stream:
+        kernel = functools.partial(
+            _gate_int8_pm_stream_kernel, hw=hw, alpha=alpha, ct=ct,
+            ct_valid=ct_valid or ct, l4=l4, tile=tile, s_x=float(s_x),
+            s_t=float(s_t), s_out=float(s_out),
+        )
+        zspec = pl.BlockSpec((1, ct, zdim), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec((1, t_blocks, l4, tile, c),
+                             lambda i: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        new_t, new_z, sim = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(x5.shape, jnp.int8),
+                jax.ShapeDtypeStruct((s_streams, ct, zdim), zx.dtype),
+                jax.ShapeDtypeStruct((s_streams, ct, win), jnp.float32),
+            ),
+            grid=(s_streams,),
+            in_specs=[zspec, zspec, dspec, dspec],
+            out_specs=(
+                dspec,
+                zspec,
+                pl.BlockSpec((1, ct, win), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            input_output_aliases={3: 0, 1: 1},
+            compiler_params=cp,
+            interpret=interpret,
+        )(zx5, zt5, x5, t5)
+        return (new_t.reshape(n, c), new_z.reshape(s_streams * ct, zdim),
+                sim.reshape(s_streams * ct, win))
     kernel = functools.partial(
         _gate_int8_pm_kernel, hw=hw, alpha=alpha, ct=ct,
         ct_valid=ct_valid or ct, s_x=float(s_x), s_t=float(s_t),
@@ -521,8 +627,7 @@ def gate_fused_int8_pm(zx, zt, x_q, t_q, ct: int, tile: int, l4: int,
         # the carry, and without the alias XLA inserts a full-template copy
         # (220 MB at B=128, ~0.7 ms) to satisfy the donation
         input_output_aliases={3: 0, 1: 1},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=cp,
         interpret=interpret,
     )(zx5, zt5, x5, t5)
     return (new_t.reshape(n, c), new_z.reshape(s_streams * ct, zdim),

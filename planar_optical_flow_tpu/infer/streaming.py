@@ -388,8 +388,10 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                        with_nms: bool = True, nms_top_k: int | None = 64,
                        precision: str = "bf16",
                        conv_mode: str = "3mm", int8_conv_mode: str = "cat",
-                       layout: str = "pm", pm_tile: int = 160,
+                       layout: str = "p2", pm_tile: int = 160,
                        tile: int = 64, mesh=None, calib=None,
+                       gate_per_stream: bool = True,
+                       p2_l1_mode: str = "mm",
                        interpret: bool = False):
     """Flat-layout fused serving step (fastest path, see BASELINE.md).
 
@@ -446,11 +448,14 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     # so the k=3 taps are vreg-aligned slice-concats instead of int8
     # byte-shifts — ~2x faster backbone, ~1.2x head (probe_r2l). Cutouts
     # are padded to a tile multiple (450 -> 480 at pm_tile=160).
-    # "p2" = pm with the backbone's first stage lane-packing position
-    # pairs (full MXU tiles + full vregs through the 64-ch layers,
-    # bit-identical values; probe_r3c) — same feats layout downstream.
-    pm = precision == "int8c" and layout in ("pm", "cell", "p2")
-    p2 = precision == "int8c" and layout == "p2"
+    # "p2" (default) = pm with the backbone's first stage lane-packing
+    # position pairs (full MXU tiles + full vregs through the 64-ch
+    # layers; probe_r3c) — same feats layout downstream. With
+    # p2_l1_mode="mm" layer 1 runs as ONE selection-folded f32 matmul
+    # (probe_r3g: 12.7 ms vs pm's 15.4 at B=128 with the per-stream
+    # gate; crosses the 10k scans/s north star).
+    pm = precision == "int8c" and layout in ("pm", "cell", "p2", "p2c")
+    p2 = precision == "int8c" and layout in ("p2", "p2c")
     cell = precision == "int8c" and layout == "cell"
     if pm:
         if cell:
@@ -475,6 +480,9 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     # stride 1); anything else falls back to the XLA matmul-sampling path
     pallas_cutout = (bool(cutout_kwargs.get("fixed"))
                      and cutout_kwargs.get("stride", 1) == 1)
+    # "p2c": cutout + backbone in ONE kernel (falls back to the separate
+    # cutout kernel + p2 backbone when the config isn't pallas-coverable)
+    p2cut = p2 and layout == "p2c" and pallas_cutout
 
     def encode(scan, b):
         if pallas_cutout:
@@ -565,7 +573,6 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         if int8_carry:
             feat_scale = float(feat_scale)
             tmpl_scale = float(hd_in_scale)
-        bb_q_p2 = cs.pack2_backbone_weights(bb_q) if p2 else None
 
     gate_vars = cast_variables(variables, jnp.bfloat16)
 
@@ -581,13 +588,33 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         """-> (feats (N, D) bf16, zx (N, 128)) — the gate embed is fused
         into the backbone kernel's epilogue. N = B * p_pad."""
         b = scan.shape[0]
+        if use_int8 and p2cut:
+            # cutout + layer-1 + conv tail + gate embed: ONE program; the
+            # (N, l) cutout tensor never exists in HBM
+            scan_p = jnp.pad(scan, ((0, 0), (0, p_pad - num_pts)))
+            return cs.fused_backbone_int8_p2cut(
+                scan_p, cs.pack2_backbone_weights(bb_q),
+                (layer1_w[0][:, 0, :], layer1_w[1].reshape(1, -1)),
+                l=ct_len, tile=pm_tile, out_dtype=jnp.int8,
+                embed_weights=(embed_w[0] * feat_scale, embed_w[1]),
+                in_scale=float(bb_in_scale), num_pts=num_pts,
+                window_width=cutout_kwargs.get("window_width", 1.66),
+                window_depth=cutout_kwargs.get("window_depth", 1.0),
+                padding_val=cutout_kwargs.get("padding_val", 29.99),
+                centered=cutout_kwargs.get("centered", True),
+                area_mode=cutout_kwargs.get("area_mode", False),
+                interpret=interpret,
+            )
         flat = encode(scan, b)
         if use_int8:
             if p2:
+                # pack2 runs TRACED (inside the jitted step): eager weight
+                # reshuffles would each remote-compile a tiny program
                 return cs.fused_backbone_int8_p2(
-                    flat, bb_q_p2,
+                    flat, cs.pack2_backbone_weights(bb_q),
                     (layer1_w[0][:, 0, :], layer1_w[1].reshape(1, -1)),
                     l=ct_len, tile=pm_tile, out_dtype=jnp.int8,
+                    l1_mode=p2_l1_mode,
                     embed_weights=(embed_w[0] * feat_scale, embed_w[1]),
                     in_scale=float(bb_in_scale),
                     interpret=interpret,
@@ -690,7 +717,8 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                 ct=p_pad, tile=pm_tile, l4=l4, ct_valid=num_pts,
                 alpha=gate_params.alpha,
                 window_size=gate_params.window_size, s_x=feat_scale,
-                s_out=tmpl_scale, interpret=interpret,
+                s_out=tmpl_scale, per_stream=gate_per_stream,
+                interpret=interpret,
             )
             if carry is None:
                 template = jnp.clip(

@@ -853,19 +853,23 @@ def pack2_conv_weights(wcat, s_eff, b_eff):
     The packed tap input is [prev.slot1 | cur (2 slots) | next.slot0]
     (probe_r3e "p2s": K=4*Cin exact MXU passes, ~5x faster than the
     unpacked pm conv at serving shape); input slots hit weight row-blocks
-    [w_l,0; w_c,w_l; w_r,w_c; 0,w_r]."""
-    wcat = np.asarray(wcat)
+    [w_l,0; w_c,w_l; w_r,w_c; 0,w_r].
+
+    jnp throughout: the inputs are usually device-resident already and a
+    host round-trip through np.asarray is pathologically slow on remote
+    backends."""
+    wcat = jnp.asarray(wcat)
     cin = wcat.shape[0] // 3
     wl, wc, wr = wcat[:cin], wcat[cin:2 * cin], wcat[2 * cin:]
-    z = np.zeros_like(wl)
-    wp = np.concatenate([
-        np.concatenate([wl, z], axis=1),
-        np.concatenate([wc, wl], axis=1),
-        np.concatenate([wr, wc], axis=1),
-        np.concatenate([z, wr], axis=1),
+    z = jnp.zeros_like(wl)
+    wp = jnp.concatenate([
+        jnp.concatenate([wl, z], axis=1),
+        jnp.concatenate([wc, wl], axis=1),
+        jnp.concatenate([wr, wc], axis=1),
+        jnp.concatenate([z, wr], axis=1),
     ], axis=0)
-    tile2 = lambda a: jnp.asarray(np.tile(np.asarray(a).reshape(-1), 2))
-    return jnp.asarray(wp), tile2(s_eff), tile2(b_eff)
+    tile2 = lambda a: jnp.tile(jnp.asarray(a).reshape(-1), 2)
+    return wp, tile2(s_eff), tile2(b_eff)
 
 
 def pack2_backbone_weights(bb_q):
@@ -875,8 +879,8 @@ def pack2_backbone_weights(bb_q):
     the lane-half pool) + untouched conv4..conv6."""
     w2p, s2p, b2p = pack2_conv_weights(bb_q[0], bb_q[1], bb_q[2])
     w3p, _, _ = pack2_conv_weights(bb_q[3], bb_q[4], bb_q[5])
-    s3 = jnp.asarray(np.asarray(bb_q[4], np.float32).reshape(-1))
-    b3 = jnp.asarray(np.asarray(bb_q[5], np.float32).reshape(-1))
+    s3 = jnp.asarray(bb_q[4], jnp.float32).reshape(-1)
+    b3 = jnp.asarray(bb_q[5], jnp.float32).reshape(-1)
     return [w2p, s2p, b2p, w3p, s3, b3] + list(bb_q[6:])
 
 
@@ -921,12 +925,80 @@ def _run_plan_int8_p2(xq, ws, l0, tile, requant_last=False):
         l0 // 2, tile, requant_last=requant_last)
 
 
-def _layer1_p2(cut, wc, b1, scale, l, tile):
+def l1_mm_weights(wc, b1, scale, l):
+    """Selection-folded layer-1 weights for the in-kernel MXU form.
+
+    ``Wsel[j, p*64+c] = wc[j-p+1, c] / scale`` (boundary taps zero), so
+    ``cut @ Wsel`` computes EVERY position's 3-tap conv in one (K=l,
+    N=l*64) matmul, output lane-grouped by position; ``1/scale`` folds in
+    via leaky's positive homogeneity (leaky(y)/s == leaky(y/s) for s>0).
+    Built with jnp so it traces inside the jitted serving step."""
+    w = jnp.asarray(wc, jnp.float32) / scale          # (3, 64)
+    b = jnp.asarray(b1, jnp.float32).reshape(1, -1) / scale
+    wsel = sum(
+        jnp.kron(jnp.eye(l, k=1 - k, dtype=jnp.float32), w[k:k + 1])
+        for k in range(3)
+    )                                                 # (l, l*64)
+    bsel = jnp.tile(b, (1, l))                        # (1, l*64)
+    return wsel, bsel
+
+
+def _layer1_p2_mm(cut, wsel, bsel, l, tile):
+    """Layer 1 as ONE f32 MXU matmul + vreg-aligned pair packing.
+
+    cut (tile, l) f32 @ Wsel (l, l*64) -> (tile, l*64) lane-grouped by
+    position; leaky + rint + clip full-vreg; the (tile, 128) lane slices
+    at 128-lane boundaries are exactly the packed position pairs, so the
+    pack is l/2 aligned slice-concats along sublanes. Replaces ~l
+    per-position (tile, 1)->(tile, 64) VPU broadcasts (probe_r3f: 4.9 ms)
+    with ~0.5 ms of MXU work."""
+    acc = jax.lax.dot_general(
+        cut, wsel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bsel
+    a = jnp.where(acc > 0, acc, _LEAKY_SLOPE * acc)
+    q = jnp.clip(jnp.rint(a), -127, 127).astype(jnp.int8)
+    return jnp.concatenate(
+        [q[:, 128 * j:128 * (j + 1)] for j in range(l // 2)], axis=0)
+
+
+def _layer1_p2(cut, wc, b1, scale, l, tile, mode="repack"):
     """Backbone layer 1 emitting PACKED rows: cutout block (tile, l) f32 ->
     (l/2 * tile, 128) int8 with positions (2p, 2p+1) in lane slots.
 
     Same per-element math as :func:`_layer1_pm` (bit-identical values,
-    different placement)."""
+    different placement). ``mode``: "repack" builds the pm (l*tile, 64)
+    int8 rows first (the known-cheap construction) and packs pairs with
+    one reshape + lane concat; "pair" lane-concats each position pair
+    directly from the f32 broadcasts."""
+    if mode == "blend":
+        # full-lane construction: each pair row-group is built from
+        # (tile, 1) -> (tile, 128) broadcast splats blended with a static
+        # lane mask — no sub-vreg lane concats anywhere
+        z = jnp.zeros_like(cut[:, :1])
+        xm = jnp.concatenate([z, cut[:, :-1]], axis=1)
+        xp = jnp.concatenate([cut[:, 1:], z], axis=1)
+        w2 = jnp.concatenate([wc, wc], axis=1)  # (3, 128)
+        b2 = jnp.concatenate([b1, b1], axis=1)  # (1, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+        left = lane < 64
+
+        def col2(a, pe, po):
+            return jnp.where(left, a[:, pe:pe + 1], a[:, po:po + 1])
+
+        rows = []
+        for p2 in range(l // 2):
+            pe, po = 2 * p2, 2 * p2 + 1
+            a = (col2(xm, pe, po) * w2[0:1] + col2(cut, pe, po) * w2[1:2]
+                 + col2(xp, pe, po) * w2[2:3]) + b2
+            rows.append(jnp.where(a > 0, a, _LEAKY_SLOPE * a))
+        act1 = jnp.concatenate(rows, axis=0) / scale
+        return jnp.clip(jnp.rint(act1), -127, 127).astype(jnp.int8)
+    if mode == "repack":
+        act1_pm = _layer1_pm(cut, wc, b1, scale, l, tile)  # (l*tile, 64)
+        a3 = act1_pm.reshape(l // 2, 2 * tile, 64)
+        return jnp.concatenate(
+            [a3[:, :tile], a3[:, tile:]], axis=2
+        ).reshape(l // 2 * tile, 128)
     z = jnp.zeros_like(cut[:, :1])
     xm = jnp.concatenate([z, cut[:, :-1]], axis=1)
     xp = jnp.concatenate([cut[:, 1:], z], axis=1)
@@ -944,8 +1016,10 @@ def _layer1_p2(cut, wc, b1, scale, l, tile):
 
 
 def _backbone_int8_p2_kernel(x_ref, *refs, l0, tile, with_embed=False,
-                             requant_last=False, in_scale=1.0):
-    refs, l1w = refs[2:], refs[:2]
+                             requant_last=False, with_layer1=True,
+                             in_scale=1.0, l1_mode="repack"):
+    if with_layer1:
+        refs, l1w = refs[2:], refs[:2]
     if with_embed:
         out_ref, z_ref = refs[-2], refs[-1]
         ws = refs[:-4]
@@ -953,8 +1027,14 @@ def _backbone_int8_p2_kernel(x_ref, *refs, l0, tile, with_embed=False,
     else:
         out_ref = refs[-1]
         ws = refs[:-1]
-    x = _layer1_p2(x_ref[:].astype(jnp.float32), l1w[0][:], l1w[1][:],
-                   in_scale, l0, tile)
+    if with_layer1 and l1_mode == "mm":
+        x = _layer1_p2_mm(x_ref[:].astype(jnp.float32), l1w[0][:],
+                          l1w[1][:], l0, tile)
+    elif with_layer1:
+        x = _layer1_p2(x_ref[:].astype(jnp.float32), l1w[0][:], l1w[1][:],
+                       in_scale, l0, tile, mode=l1_mode)
+    else:
+        x = x_ref[:]
     out = _run_plan_int8_p2(x, ws, l0, tile, requant_last=requant_last)
     out_ref[:] = out.astype(out_ref.dtype)
     if with_embed:
@@ -962,10 +1042,12 @@ def _backbone_int8_p2_kernel(x_ref, *refs, l0, tile, with_embed=False,
 
 
 @functools.partial(jax.jit, static_argnames=("l", "tile", "out_dtype",
-                                             "in_scale", "interpret"))
+                                             "in_scale", "l1_mode",
+                                             "interpret"))
 def fused_backbone_int8_p2(cutouts, weights, layer1_weights, l: int = 56,
                            tile: int = 160, out_dtype=jnp.int8,
                            embed_weights=None, in_scale: float = 1.0,
+                           l1_mode: str = "repack",
                            interpret: bool = False):
     """Pack-2 pm backbone: raw CUTOUT rows (NB*tile, l) f32 in
     (stream, cutout) order -> feats (NB*l4*tile, 256) int8 position-major
@@ -974,20 +1056,36 @@ def fused_backbone_int8_p2(cutouts, weights, layer1_weights, l: int = 56,
     faster at serving shape (probe_r3c). ``weights`` from
     :func:`pack2_backbone_weights`."""
     n_rows, c1 = cutouts.shape
-    if n_rows % tile:
-        raise ValueError(
-            f"cutout rows {n_rows} not a multiple of tile {tile}")
+    with_layer1 = layer1_weights is not None
     if l % 4:
         raise ValueError("l must be a multiple of 4")
-    nb = n_rows // tile
+    if with_layer1:
+        if n_rows % tile:
+            raise ValueError(
+                f"cutout rows {n_rows} not a multiple of tile {tile}")
+        nb = n_rows // tile
+    else:
+        # input is pre-packed act1: (NB * l/2 * tile, 128) int8 rows
+        if n_rows % (l // 2 * tile):
+            raise ValueError(
+                f"packed act1 rows {n_rows} not a multiple of "
+                f"l/2*tile = {l // 2 * tile}")
+        nb = n_rows // (l // 2 * tile)
     grid = (nb,)
     l4 = l // 4
     with_embed = embed_weights is not None
+    if with_layer1 and l1_mode == "mm":
+        # fold (wc, b1, 1/in_scale) into the selection matmul weights;
+        # traced (runs inside the jitted serving step, not per-call eager)
+        layer1_weights = l1_mm_weights(layer1_weights[0],
+                                       layer1_weights[1], in_scale, l)
     kernel = functools.partial(_backbone_int8_p2_kernel, l0=l, tile=tile,
                                with_embed=with_embed,
                                requant_last=out_dtype == jnp.int8,
-                               in_scale=float(in_scale))
-    weights = (list(layer1_weights) + list(weights)
+                               with_layer1=with_layer1,
+                               in_scale=float(in_scale), l1_mode=l1_mode)
+    weights = ((list(layer1_weights) if with_layer1 else [])
+               + list(weights)
                + (list(embed_weights) if with_embed else []))
     out_shape = jax.ShapeDtypeStruct((nb * l4 * tile, 256), out_dtype)
     out_spec = pl.BlockSpec((l4 * tile, 256), lambda i: (i, 0),
@@ -998,11 +1096,12 @@ def fused_backbone_int8_p2(cutouts, weights, layer1_weights, l: int = 56,
         out_spec = (out_spec,
                     pl.BlockSpec((tile, 128), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM))
+    in_block = (tile, c1) if with_layer1 else (l // 2 * tile, c1)
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=grid,
-        in_specs=[pl.BlockSpec((tile, c1), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec(in_block, lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
                         memory_space=pltpu.VMEM) for w in weights],
@@ -1010,6 +1109,129 @@ def fused_backbone_int8_p2(cutouts, weights, layer1_weights, l: int = 56,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(cutouts, *weights)
+
+
+def _backbone_int8_p2cut_kernel(scol_ref, ha_ref, schunk_ref, cchunk_ref,
+                                *refs, l0, tile, t_blocks, cut_cfg,
+                                with_embed=False, requant_last=False):
+    from planar_optical_flow_tpu.ops.pallas.cutout_kernel import (
+        cutout_block,
+    )
+
+    refs, l1w = refs[2:], refs[:2]  # (wsel, bsel) from l1_mm_weights
+    if with_embed:
+        out_ref, z_ref = refs[-2], refs[-1]
+        ws = refs[:-4]
+        ws_embed = refs[-4:-2]
+    else:
+        out_ref = refs[-1]
+        ws = refs[:-1]
+    j = pl.program_id(0) % t_blocks
+    cut = cutout_block(
+        scol_ref[0], ha_ref[0], schunk_ref[0], cchunk_ref[0],
+        rows=tile, row_off=j * tile, c=l0, **cut_cfg)
+    x = _layer1_p2_mm(cut, l1w[0][:], l1w[1][:], l0, tile)
+    out = _run_plan_int8_p2(x, ws, l0, tile, requant_last=requant_last)
+    out_ref[:] = out.astype(out_ref.dtype)
+    if with_embed:
+        _embed_epilogue_pm(out, ws_embed, z_ref, jnp.bfloat16, tile, l0 // 4)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "l", "tile", "out_dtype", "in_scale", "num_pts", "window_width",
+    "window_depth", "padding_val", "centered", "area_mode", "angle_inc",
+    "interpret"))
+def fused_backbone_int8_p2cut(scans, weights, layer1_weights, l: int = 56,
+                              tile: int = 160, out_dtype=jnp.int8,
+                              embed_weights=None, in_scale: float = 1.0,
+                              *, num_pts: int,
+                              window_width: float = 1.0,
+                              window_depth: float = 0.5,
+                              padding_val: float = 29.99,
+                              centered: bool = True, area_mode: bool = True,
+                              angle_inc: float | None = None,
+                              interpret: bool = False):
+    """Cutout + pack-2 backbone in ONE Pallas program.
+
+    Raw padded scans (B, P_pad) f32 -> feats (B*P_pad/tile * l4 * tile,
+    256) int8 position-major (same layout as :func:`fused_backbone_int8_pm`)
+    + the gate embed. The cutout block (``cutout_kernel.cutout_block``
+    math: lane gathers + area-mode prefix-sum means) is built in VMEM and
+    feeds layer 1 directly — the (B*P_pad, l) f32 cutout tensor never
+    exists in HBM, and the cutout's VPU work overlaps the tail's MXU work
+    across grid steps. Layer 1 always uses the "mm" selection-matmul form.
+
+    Reference cutout math: ``/root/reference/src/utils/utils.py:259-334``;
+    conv stacks: ``/root/reference/src/depracted/model/dr_spaam.py:79-114``.
+    """
+    import math as _math
+
+    if angle_inc is None:
+        angle_inc = _math.radians(0.5)
+    b, p_pad = scans.shape
+    if p_pad % tile:
+        raise ValueError(f"padded scan length {p_pad} not a multiple of "
+                         f"tile {tile}")
+    if l % 4:
+        raise ValueError("l must be a multiple of 4")
+    t_blocks = p_pad // tile
+    scans = scans.astype(jnp.float32)
+    csum = jnp.cumsum(scans, axis=-1)
+    csum = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=-1)
+    half_alpha = jnp.arctan(0.5 * window_width / jnp.maximum(scans, 1e-2))
+    wp = ((p_pad + 1 + 127) // 128) * 128
+    n_chunks = wp // 128
+    schunk = jnp.pad(scans, ((0, 0), (0, wp - p_pad))).reshape(
+        b, n_chunks, 128)
+    cchunk = jnp.pad(csum, ((0, 0), (0, wp - p_pad - 1))).reshape(
+        b, n_chunks, 128)
+    col = lambda a: a.reshape(b, p_pad, 1)
+
+    wsel, bsel = l1_mm_weights(layer1_weights[0], layer1_weights[1],
+                               in_scale, l)
+    cut_cfg = dict(p_valid=int(num_pts), n_chunks=n_chunks,
+                   angle_inc=float(angle_inc),
+                   window_depth=float(window_depth),
+                   padding_val=float(padding_val), centered=bool(centered),
+                   area_mode=bool(area_mode))
+    nb = b * t_blocks
+    l4 = l // 4
+    with_embed = embed_weights is not None
+    kernel = functools.partial(
+        _backbone_int8_p2cut_kernel, l0=l, tile=tile, t_blocks=t_blocks,
+        cut_cfg=cut_cfg, with_embed=with_embed,
+        requant_last=out_dtype == jnp.int8)
+    wlist = ([wsel, bsel] + list(weights)
+             + (list(embed_weights) if with_embed else []))
+    out_shape = jax.ShapeDtypeStruct((nb * l4 * tile, 256), out_dtype)
+    out_spec = pl.BlockSpec((l4 * tile, 256), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    if with_embed:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((nb * tile, 128), jnp.bfloat16))
+        out_spec = (out_spec,
+                    pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    tb = t_blocks
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, tile, 1), lambda i: (i // tb, i % tb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda i: (i // tb, i % tb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_chunks, 128), lambda i: (i // tb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_chunks, 128), lambda i: (i // tb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                          memory_space=pltpu.VMEM) for w in wlist],
+        out_specs=out_spec,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(col(scans), col(half_alpha), schunk, cchunk, *wlist)
 
 
 def _head_int8_pm_kernel(x_ref, *refs, l0, tile, compute_dtype):

@@ -28,25 +28,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cutout_kernel(scol_ref, ha_ref, schunk_ref, cchunk_ref, out_ref, *,
-                   num_pts, p_valid, c, n_chunks, angle_inc, window_depth,
-                   padding_val, centered, area_mode):
-    """One scan per grid step.
+def cutout_block(dists, half_alpha, scan_chunks, csum_chunks, *, rows,
+                 p_valid, c, n_chunks, angle_inc, window_depth,
+                 padding_val, centered, area_mode, row_off=0):
+    """Pure cutout math for ``rows`` consecutive beams of one scan,
+    callable from any Pallas kernel body (also fused into the serving
+    backbone, ``conv_stack.fused_backbone_int8_p2cut``).
 
     Inputs are pre-shaped in XLA to avoid lane<->sublane relayouts and
     multi-vreg gathers, which Mosaic does not support:
-    * scol/ha: (P, 1) per-point range / half-window-angle columns,
-    * schunk/cchunk: (W/128, 128) beam-table chunks (ranges / prefix sums)
-      — each lane gather reads one 128-wide vreg, selected by chunk id.
-    """
-    p = num_pts
-    dists = scol_ref[0]       # (P, 1)
-    half_alpha = ha_ref[0]    # (P, 1)
+    * dists/half_alpha: (rows, 1) per-point range / half-window-angle,
+    * scan/csum chunks: (W/128, 128) beam-table chunks (ranges / prefix
+      sums) — each lane gather reads one 128-wide vreg, selected by chunk
+      id. ``row_off``: global beam index of row 0 (may be traced)."""
+    p = rows
 
     taps = jax.lax.broadcasted_iota(jnp.int32, (p, c), 1).astype(
         jnp.float32)  # (P, C)
     delta = 2.0 * half_alpha / (c - 1)
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).astype(jnp.float32)
+    pidx = (jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+            + row_off).astype(jnp.float32)
     # beam angles cancel: inds = p + (taps * delta - half_alpha) / angle_inc
     inds = pidx + (taps * delta - half_alpha) / angle_inc
 
@@ -70,13 +71,12 @@ def _cutout_kernel(scol_ref, ha_ref, schunk_ref, cchunk_ref, out_ref, *,
             out = jnp.where(hit, g, out)
         return out[:, :cr]
 
-    scan_chunks = schunk_ref[0]
     ct_low = gather_lane(scan_chunks, low)
     ct_high = gather_lane(scan_chunks, high)
     ct = ct_low + frac * (ct_high - ct_low)
 
     if area_mode:
-        csum_chunks = cchunk_ref[0]  # prefix sums: csum[i] = sum beams < i
+        # csum_chunks: prefix sums, csum[i] = sum of beams < i
         tap_w = (inds[:, c - 1:c] - inds[:, 0:1]) / (c - 1)
         a_lo = jnp.rint(jnp.clip(inds - 0.5 * tap_w, 0, p_valid - 1)).astype(
             jnp.int32)
@@ -93,7 +93,18 @@ def _cutout_kernel(scol_ref, ha_ref, schunk_ref, cchunk_ref, out_ref, *,
     ct = jnp.clip(ct, dists - window_depth, dists + window_depth)
     if centered:
         ct = (ct - dists) / window_depth
-    out_ref[:] = ct
+    return ct
+
+
+def _cutout_kernel(scol_ref, ha_ref, schunk_ref, cchunk_ref, out_ref, *,
+                   num_pts, p_valid, c, n_chunks, angle_inc, window_depth,
+                   padding_val, centered, area_mode):
+    """One scan per grid step (see :func:`cutout_block`)."""
+    out_ref[:] = cutout_block(
+        scol_ref[0], ha_ref[0], schunk_ref[0], cchunk_ref[0],
+        rows=num_pts, p_valid=p_valid, c=c, n_chunks=n_chunks,
+        angle_inc=angle_inc, window_depth=window_depth,
+        padding_val=padding_val, centered=centered, area_mode=area_mode)
 
 
 @functools.partial(jax.jit, static_argnames=(

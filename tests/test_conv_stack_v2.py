@@ -250,9 +250,16 @@ def test_head_int8_pm_matches_cm(rng):
     np.testing.assert_array_equal(np.asarray(r_pm), np.asarray(r_cm))
 
 
-def test_backbone_int8_p2_matches_pm():
-    """Pack-2 first stage is BIT-IDENTICAL to the pm backbone (the packed
-    weights only add zero blocks to the int32 accumulation)."""
+import pytest
+
+
+@pytest.mark.parametrize("l1_mode", ["repack", "blend", "mm"])
+def test_backbone_int8_p2_matches_pm(l1_mode):
+    """Pack-2 first stage matches the pm backbone: BIT-IDENTICAL for the
+    per-position layer-1 constructions ("repack"/"blend" — the packed
+    weights only add zero blocks to the int32 accumulation); the "mm"
+    selection-matmul layer 1 may flip rint-boundary int8 counts (f32
+    matmul summation order), bounded to 1 LSB at low rate."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -281,8 +288,20 @@ def test_backbone_int8_p2_matches_pm():
     f_p2, z_p2 = cs.fused_backbone_int8_p2(
         cut, cs.pack2_backbone_weights(bb_q), l1w, l=l, tile=tile,
         out_dtype=jnp.int8, embed_weights=embed_w, in_scale=0.01,
-        interpret=True)
-    np.testing.assert_array_equal(np.asarray(f_pm), np.asarray(f_p2))
-    np.testing.assert_allclose(np.asarray(z_pm, np.float32),
-                               np.asarray(z_p2, np.float32),
-                               rtol=1e-2, atol=1e-2)
+        l1_mode=l1_mode, interpret=True)
+    if l1_mode == "mm":
+        # act1's rint-boundary flips propagate through the int8 stacks;
+        # require sparse, small deviations rather than bit equality
+        a = np.asarray(f_pm, np.int32)
+        b = np.asarray(f_p2, np.int32)
+        frac = (a != b).mean()
+        assert frac < 0.02, frac
+        assert np.abs(a - b).max() <= 4
+        np.testing.assert_allclose(np.asarray(z_pm, np.float32),
+                                   np.asarray(z_p2, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+    else:
+        np.testing.assert_array_equal(np.asarray(f_pm), np.asarray(f_p2))
+        np.testing.assert_allclose(np.asarray(z_pm, np.float32),
+                                   np.asarray(z_p2, np.float32),
+                                   rtol=1e-2, atol=1e-2)

@@ -258,7 +258,8 @@ def test_serve_step_v3_int8_carry(layout):
             assert corr > 0.95, (i, k, corr)
 
 
-def test_gate_int8_pm_matches_cm():
+@pytest.mark.parametrize("per_stream", [False, True])
+def test_gate_int8_pm_matches_cm(per_stream):
     """Position-major int8 gate is bit-identical to the cutout-major int8
     gate (same math, template rows reordered)."""
     s_streams, ct, l4, zdim = 2, 32, 2, 128
@@ -278,7 +279,8 @@ def test_gate_int8_pm_matches_cm():
                 .reshape(-1, 256))
 
     t_pm, z_pm, sim_pm = fg.gate_fused_int8_pm(
-        zx, zt, to_pm(x_q), to_pm(t_q), ct=ct, tile=tile, l4=l4, **kw)
+        zx, zt, to_pm(x_q), to_pm(t_q), ct=ct, tile=tile, l4=l4,
+        per_stream=per_stream, **kw)
     t_pm_as_cm = (t_pm.reshape(s_streams, l4, ct, 256).transpose(0, 2, 1, 3)
                   .reshape(s_streams * ct, d))
     # the int8 requant may differ by 1 count on rint-boundary values (FMA

@@ -129,6 +129,9 @@ def test_registry_builds_all():
         "dr-spaam": {"type": "dr-spaam", "window_size": 7},
         "spatial_drow": {"type": "spatial_drow"},
         "flow_drow": {"type": "flow_drow"},
+        "fc1d": {"type": "fc1d", "pedestrian_only": True},
+        "fc1d_fea": {"type": "fc1d_fea"},
+        "fc2d": {"type": "fc2d", "hidden": 64},
     }
     assert set(cfgs) == set(MODEL_REGISTRY)
     for cfg in cfgs.values():
