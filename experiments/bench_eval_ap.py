@@ -27,12 +27,22 @@ T = 10000
 scans = rng.uniform(0.5, 25.0, (T, num_pts)).astype(np.float32)
 gt = [rng.uniform(-5, 5, (2, 2)).astype(np.float32) for _ in range(T)]
 frames = DetectionEvalFrames(scans, gt)
+# steady-state pattern: build the serving step ONCE and pass it in —
+# per-call step construction (re-trace + int8c self-recalibration) costs
+# ~30-40 s/call on the remote chip and is one-time work
+eval_step = make_serve_step_v3(model, variables, CUT, num_pts=num_pts,
+                               precision="int8c", calib_scans=scans[:8])
 t0 = time.perf_counter()
 res = evaluate_detection_ap_batched(model, variables, CUT, frames,
-                                    batch_streams=128)
+                                    batch_streams=128, step=eval_step)
 dt = time.perf_counter() - t0
-print(f"batched AP over {T} frames: {dt:.1f} s "
-      f"({T/dt:.0f} frames/s), ap={res['ap']:.3f}", flush=True)
+t0 = time.perf_counter()
+res = evaluate_detection_ap_batched(model, variables, CUT, frames,
+                                    batch_streams=128, step=eval_step)
+dt2 = time.perf_counter() - t0
+print(f"batched AP over {T} frames [int8c, cached step]: cold {dt:.1f} s, "
+      f"warm {dt2:.1f} s ({T/dt2:.0f} frames/s), ap={res['ap']:.3f}",
+      flush=True)
 
 # ---- sequence processor vs step API, T=100 @ B=128
 B, TT = 128, 100

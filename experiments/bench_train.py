@@ -1,4 +1,5 @@
-"""FlowDROW train-step latency: f32 vs bf16 mixed precision (remat), the
+"""FlowDROW train-step latency: f32 vs bf16 mixed precision (remat) vs the
+fused-frozen-detector task (serving kernels inside the train step), the
 round-1 BASELINE.md workload (batch 8 x 11 scans x 450 pts)."""
 import tempfile, time
 import numpy as np
@@ -13,10 +14,12 @@ model = get_model({"type": "flow_drow", "window_size": 11,
                    "pedestrian_only": True, "remat": True})
 rng = np.random.default_rng(0)
 
-task = tasks.FlowDrowTask(cutout_kwargs=dict(
+CUT = dict(
     fixed=True, centered=True, window_width=1.0, window_depth=0.5,
     num_cutout_pts=56, padding_val=29.99, area_mode=True,
-    gather_mode="matmul"))
+    gather_mode="matmul")
+task = tasks.FlowDrowTask(cutout_kwargs=CUT)
+fused_task = tasks.FlowDrowFusedTask(cutout_kwargs=CUT, window_size=11)
 batch = {
     "scans": jnp.asarray(rng.uniform(0.5, 25.0, (B, T, P)), jnp.float32),
     "target_flow": jnp.asarray(rng.normal(size=(B, P, 2)) * 0.1, jnp.float32),
@@ -25,15 +28,15 @@ batch = {
 tx = make_optimizer({"scheduler_kwargs": {}}, steps_per_epoch=100)
 x0 = jnp.zeros((1, P, 1, 56)); cur0 = jnp.zeros((1, P))
 
-for cd in (None, "bfloat16"):
+for cd, tk in ((None, task), ("bfloat16", task), ("fused", fused_task)):
     state = create_train_state(model, (x0, cur0), tx,
                                init_kwargs={"train": False})
     with tempfile.TemporaryDirectory() as td:
         logger = RunLogger({"log_dir": td, "tag": "bench"})
         cfg = {"epoch": 1, "ckpt_interval": 1000}
-        if cd:
+        if cd and cd != "fused":
             cfg["compute_dtype"] = cd
-        tr = Trainer(logger, cfg, task,
+        tr = Trainer(logger, cfg, tk,
                      install_signal_handlers=False)
         tr._build_steps(state)
         key = jax.random.PRNGKey(0)

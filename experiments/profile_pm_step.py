@@ -16,7 +16,7 @@ rng = np.random.default_rng(0)
 scan = jnp.asarray(rng.uniform(0.5, 25.0, (batch, num_pts)), dtype=jnp.float32)
 v3 = make_serve_step_v3(model, variables, cutout_kwargs,
                         calib_scans=np.asarray(scan[:8]), num_pts=num_pts,
-                        precision="int8c", layout="pm", tile=128)
+                        precision="int8c", layout="p2", tile=128)
 carry, out = v3(None, scan)
 for _ in range(3):
     carry, out = v3(carry, scan)

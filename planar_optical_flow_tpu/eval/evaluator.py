@@ -124,6 +124,7 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
                                   gate_mix: str | None = None,
                                   engine: str = "v3",
                                   calib=None,
+                                  step=None,
                                   interpret: bool | None = None):
     """Detection PR/AP over a frame sequence, ``batch_streams`` frames per
     device step.
@@ -146,6 +147,12 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
     ``StreamingRunner``, used by the parity tests). ``frames``: a
     :class:`DetectionEvalFrames` (or dataset accepted by its
     ``from_dataset`` adapter).
+
+    ``step``: a prebuilt serving step (``make_serve_step_v3`` /
+    ``make_serve_step`` result) — reuse it across calls to skip the
+    per-call step construction, re-trace, and (int8c) self-recalibration,
+    which otherwise dominate repeated evals (~30-40 s/call at 10k frames
+    on the remote chip vs ~4 s steady-state with a cached step).
     """
     import warnings
 
@@ -181,7 +188,9 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
         [frames.scans, np.full((pad, p), 29.99, np.float32)], axis=0
     ).reshape(b, t_chunk, p)
 
-    if engine == "v3":
+    if step is not None:
+        pass  # caller-provided (cached) serving step
+    elif engine == "v3":
         step = make_serve_step_v3(model, variables, cutout_kwargs,
                                   num_pts=num_pts, precision="bf16",
                                   interpret=interpret)
@@ -200,13 +209,15 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
     carry = None
     for t in range(t_chunk):
         carry, out = step(carry, jnp.asarray(scans[:, t]))
-        outs.append({k: out[k] for k in ("det_xys", "det_cls", "det_keep")})
+        outs.append((out["det_xys"], out["det_cls"], out["det_keep"]))
 
-    # stack to (t_chunk, b, K, .) and flatten to frame rows n = t*b + s;
-    # frame index i = s*t_chunk + t
-    xys = np.stack([np.asarray(o["det_xys"]) for o in outs])
-    confs = np.stack([np.asarray(o["det_cls"]) for o in outs])[..., 0]
-    keeps = np.stack([np.asarray(o["det_keep"]) for o in outs])
+    # stack to (t_chunk, b, K, .) and flatten to frame rows n = t*b + s
+    # ON DEVICE (frame index i = s*t_chunk + t): per-step np.asarray was
+    # ~3 relay round-trips x t_chunk — the host tail that dominated the
+    # 10k-frame eval; now the only D2H is the matcher's 3 outputs
+    xys = jnp.stack([o[0] for o in outs])
+    confs = jnp.stack([o[1] for o in outs])[..., 0]
+    keeps = jnp.stack([o[2] for o in outs])
     kslots = xys.shape[2]
     xys = xys.reshape(-1, kslots, 2)
     confs = confs.reshape(-1, kslots)

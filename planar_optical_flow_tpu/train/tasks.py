@@ -200,10 +200,13 @@ class FlowDrowFusedTask(FlowDrowTask):
             "params": variables["params"]["dr_spaam"],
             "batch_stats": variables["batch_stats"]["dr_spaam"],
         }
+        # num_classes from the actual head weights (not the task flag —
+        # a mismatched flag would size the kernel's cls ref wrongly)
+        n_cls = det_vars["params"]["head"]["cls"]["kernel"].shape[-1]
         _, _, sim_band = frozen_detector_forward(
             det_vars, scans, alpha=self.alpha,
             window_size=self.window_size,
-            num_classes=1 if self.pedestrian_only else 4,
+            num_classes=int(n_cls),
             num_pts=self.num_pts,
             ct_len=kw.get("num_cutout_pts", 48),
             window_width=kw.get("window_width", 1.66),
