@@ -18,6 +18,21 @@ import argparse
 import sys
 
 
+def _resolve_ap_engine(engine, ckpt):
+    """Resolve --engine for --ap. "auto" picks the flagship "int8c" when a
+    persisted calibration.json sits next to ``ckpt`` (zero extra inputs),
+    else the fused bf16 "v3" — never silently self-calibrating on eval
+    scans. Returns (engine, calib)."""
+    calib = None
+    if engine in ("auto", "int8c") and ckpt:
+        from planar_optical_flow_tpu.infer import ServeCalibration
+
+        calib = ServeCalibration.find(ckpt)
+    if engine == "auto":
+        engine = "int8c" if calib is not None else "v3"
+    return engine, calib
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", required=True)
@@ -27,12 +42,14 @@ def main(argv=None):
     parser.add_argument("--synthetic", default=None)
     parser.add_argument("--ap", action="store_true",
                         help="also run streaming detection AP")
-    parser.add_argument("--engine", choices=("module", "v3", "int8c"),
-                        default="v3",
-                        help="serving engine for --ap: 'v3' fused bf16 "
-                             "(default), 'int8c' flagship int8 (calibrated "
-                             "from the checkpoint dir or the eval scans), "
-                             "'module' f32-exact")
+    parser.add_argument("--engine", choices=("auto", "module", "v3", "int8c"),
+                        default="auto",
+                        help="serving engine for --ap: 'auto' (default) "
+                             "picks the flagship 'int8c' when a persisted "
+                             "calibration.json sits next to --ckpt, else "
+                             "the fused bf16 'v3'; 'int8c' flagship int8 "
+                             "(calibrated from the checkpoint dir or the "
+                             "eval scans), 'module' f32-exact")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -65,16 +82,14 @@ def main(argv=None):
                                             "flow_drow", "drow"):
         from planar_optical_flow_tpu.eval import evaluate_detection_ap_batched
 
-        calib = None
-        if args.engine == "int8c" and args.ckpt:
-            from planar_optical_flow_tpu.infer import ServeCalibration
-
-            calib = ServeCalibration.find(args.ckpt)
+        engine, calib = _resolve_ap_engine(args.engine, args.ckpt)
+        if args.engine == "auto":
+            print({"ap_engine": engine})
         ds = pipeline.val_set or pipeline.train_set
         ap = evaluate_detection_ap_batched(
             pipeline.model, pipeline.state.variables,
             cfg["dataset"].get("cutout_kwargs", {}), ds,
-            engine=args.engine, calib=calib,
+            engine=engine, calib=calib,
         )
         print({k: round(v, 6) if isinstance(v, float) else v
                for k, v in ap.items()})

@@ -91,7 +91,9 @@ def main(argv=None):
     state = create_train_state(model, example, optax.identity(),
                                init_kwargs={"train": False})
     if args.ckpt:
-        state = ckpt_lib.restore_checkpoint(args.ckpt, state)
+        # variables-only: the trainer's opt_state tree is irrelevant (and
+        # structurally incompatible with the identity-optimizer template)
+        state = ckpt_lib.restore_variables(args.ckpt, state)
 
     calib = calib_scans = None
     if args.engine == "int8c":

@@ -46,6 +46,21 @@ def restore_checkpoint(path: str, state):
     )
 
 
+def restore_variables(path: str, state):
+    """Restore params/batch_stats/counters into ``state``, keeping its
+    opt_state. For inference-side consumers (``bin/infer.py``) whose
+    template optimizer (e.g. ``optax.identity``) does not match the
+    trainer's optimizer tree saved in the checkpoint — a full
+    :func:`restore_checkpoint` would fail on the opt_state structure."""
+    payload = load_checkpoint_tree(os.path.abspath(path))
+    return state.replace(
+        step=int(payload["step"]),
+        epoch=int(payload["epoch"]),
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+    )
+
+
 def load_checkpoint_tree(path: str) -> dict:
     """Restore the raw checkpoint pytree (params/batch_stats/... as plain
     dicts) without needing a matching TrainState template — for weight

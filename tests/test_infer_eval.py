@@ -236,3 +236,28 @@ def test_streaming_runner_v3_engine(rng):
                 np.asarray(out_f[k], np.float32).ravel(),
                 np.asarray(out_r[k], np.float32).ravel())[0, 1]
             assert corr > 0.99, (i, k, corr)
+
+
+def test_evaluate_cli_auto_engine_resolution(tmp_path):
+    """bin/evaluate.py --engine auto: int8c iff a persisted calibration
+    sits next to the checkpoint; explicit engines pass through."""
+    from bin.evaluate import _resolve_ap_engine
+    from planar_optical_flow_tpu.infer import ServeCalibration
+
+    ckpt = tmp_path / "ckpt_e1"
+    ckpt.mkdir()
+    engine, calib = _resolve_ap_engine("auto", str(ckpt))
+    assert (engine, calib) == ("v3", None)
+    engine, calib = _resolve_ap_engine("auto", None)
+    assert (engine, calib) == ("v3", None)
+
+    ServeCalibration(bb_in_scale=1.0, bb_act_scales=[1.0] * 5,
+                     hd_in_scale=1.0, hd_act_scales=[1.0] * 5,
+                     ).save(str(tmp_path))
+    engine, calib = _resolve_ap_engine("auto", str(ckpt))
+    assert engine == "int8c" and calib is not None
+    # explicit engines are never overridden
+    engine, calib = _resolve_ap_engine("v3", str(ckpt))
+    assert (engine, calib) == ("v3", None)
+    engine, calib = _resolve_ap_engine("module", str(ckpt))
+    assert (engine, calib) == ("module", None)

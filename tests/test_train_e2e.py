@@ -145,6 +145,21 @@ def test_trainer_full_loop_ckpt_eval(drow_dir, tmp_path):
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
     )
 
+    # inference consumers restore with a template whose optimizer does NOT
+    # match the trainer's (bin/infer.py uses optax.identity): the
+    # variables-only restore must still load params + counters
+    import optax
+    from planar_optical_flow_tpu.train.checkpoint import restore_variables
+
+    infer_state = create_train_state(model, (x, x), optax.identity(),
+                                     init_kwargs={"train": False})
+    inf = restore_variables(latest, infer_state)
+    assert int(inf.step) == int(state.step)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(inf.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
+
     # scalar stream exists
     scalars = os.path.join(logger.tb_dir, "scalars.jsonl")
     assert os.path.getsize(scalars) > 0
