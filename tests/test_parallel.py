@@ -211,3 +211,50 @@ def test_sharded_serve_step_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(carry_m["template"], np.float32),
         np.asarray(carry_s["template"], np.float32), rtol=2e-2, atol=2e-2)
+
+
+def test_sharded_serve_step_int8c_matches_single_device(rng):
+    """The flagship int8c engine shard_mapped over the data mesh == the
+    same engine single-device: the pm carry rows are stream-major
+    contiguous, so the per-shard Pallas kernels see whole streams and the
+    int8 math is bit-identical across the split."""
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
+
+    num_pts = 64
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=16,
+                         padding_val=29.99, area_mode=True,
+                         gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    cur = jnp.zeros((1, num_pts))
+    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+    mesh = make_mesh()
+    b = mesh.devices.size * 2
+    calib = np.asarray(
+        rng.uniform(0.5, 20.0, (4, num_pts)), np.float32)
+    kw = dict(num_pts=num_pts, with_nms=True, precision="int8c",
+              pm_tile=32, calib_scans=calib, interpret=True)
+    single = make_serve_step_v3(model, variables, cutout_kwargs, **kw)
+    sharded = make_serve_step_v3(model, variables, cutout_kwargs,
+                                 mesh=mesh, **kw)
+    carry_s, carry_m = None, None
+    for i in range(2):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (b, num_pts)),
+                           jnp.float32)
+        carry_s, out_s = single(carry_s, scan)
+        carry_m, out_m = sharded(carry_m, scan)
+        # int8 template carry must agree exactly; the f32 outputs only up
+        # to cross-shard fusion noise
+        np.testing.assert_array_equal(
+            np.asarray(carry_m["template"]),
+            np.asarray(carry_s["template"]), err_msg=f"step {i}")
+        for k in ("pred_cls", "pred_flow"):
+            np.testing.assert_allclose(
+                np.asarray(out_m[k], np.float32),
+                np.asarray(out_s[k], np.float32), rtol=2e-2, atol=2e-2,
+                err_msg=f"step {i} key {k}")
+        keep_match = (np.asarray(out_m["det_keep"])
+                      == np.asarray(out_s["det_keep"])).mean()
+        assert keep_match > 0.95, keep_match
