@@ -35,8 +35,8 @@ for e in events:
     if "TPU" not in pname and "tpu" not in pname.lower():
         continue
     lane = tname or pname
-    if "step" in lane.lower() or "xla op" in lane.lower():
-        continue  # avoid double counting annotation lanes
+    if "xla op" not in lane.lower():
+        continue  # the op-level lane only (module/step lanes double-count)
     dur = e.get("dur", 0) / 1000.0  # us -> ms
     by_op[e["name"][:90]] += dur
     by_lane[lane] += dur

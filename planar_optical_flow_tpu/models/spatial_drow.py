@@ -217,12 +217,16 @@ class SpatialDrow(nn.Module):
     # ----------------------------------------------------------- internals
 
     def _encode(self, x, train):
-        """(B, ct, S, pts) -> (B, ct, S, L*C) flat features, one backbone
-        call (features stay flat through the temporal recursion — the head
-        reshapes back once)."""
+        """(B, ct, S, pts) -> (S, B, ct, L*C) flat features, one backbone
+        call. The scan axis is MAJOR in the output so the temporal loop
+        slices contiguous per-scan blocks — slicing the middle axis of a
+        (B, ct, S, D) view forced XLA into ~10 ms/step of layout copies at
+        the 8x11 working point (experiments/profile_train_det.py); the
+        input-side transpose here is 128x smaller than the feature map."""
         b, ct, s, p = x.shape
-        f = self.backbone(x.reshape(b * ct * s, p, 1), train)
-        return f.reshape(b, ct, s, f.shape[-2] * f.shape[-1])
+        xt = x.transpose(2, 0, 1, 3)  # (S, B, ct, pts)
+        f = self.backbone(xt.reshape(s * b * ct, p, 1), train)
+        return f.reshape(s, b, ct, f.shape[-2] * f.shape[-1])
 
     def _head(self, fused_flat, train):
         b, ct, d = fused_flat.shape
@@ -234,12 +238,12 @@ class SpatialDrow(nn.Module):
     # ------------------------------------------------------------- training
 
     def __call__(self, x, train: bool = True):
-        feats = self._encode(x, train)  # (B, ct, S, L, C)
-        n_scan = feats.shape[2]
-        template = feats[:, :, 0]
+        feats = self._encode(x, train)  # (S, B, ct, D)
+        n_scan = feats.shape[0]
+        template = feats[0]
         sim_band = None
         for i in range(1, n_scan):
-            template, sim_band = self.gate(feats[:, :, i], template,
+            template, sim_band = self.gate(feats[i], template,
                                            train=train)
         if sim_band is None:  # single-scan input: self-attention bootstrap
             template, sim_band = self.gate(template, template, train=train)
@@ -259,7 +263,7 @@ class SpatialDrow(nn.Module):
 
         Returns (cls, reg, new_template, sim_band).
         """
-        feats = self._encode(x[:, :, None, :], train=False)[:, :, 0]
+        feats = self._encode(x[:, :, None, :], train=False)[0]
         if template is None:
             # bootstrap: the raw features become the template; the gate only
             # supplies the similarity features (dr_spaam.py:242-245)

@@ -75,9 +75,14 @@ def scans_to_cutout(
 
     Returns:
       ``(..., P', S, C)`` cutouts with ``P' = ceil(P / stride)`` and
-      ``C = num_cutout_pts``, float32.
+      ``C = num_cutout_pts``, in the input dtype. The window geometry and
+      interpolation always run in float32 internally — a reduced-precision
+      caller (mixed-precision training) only quantizes the normalized
+      output, not the beam geometry.
     """
     scans = jnp.asarray(scans)
+    out_dtype = scans.dtype
+    scans = scans.astype(jnp.float32)
     num_pts = scans.shape[-1]
     phi = np.asarray(scan_phi)
     angle_inc = float(phi[1] - phi[0])
@@ -220,4 +225,4 @@ def scans_to_cutout(
 
     # (..., S, P', C) -> (..., P', S, C)
     ct = jnp.swapaxes(ct, -3, -2)
-    return ct.astype(jnp.float32)
+    return ct.astype(out_dtype)

@@ -20,7 +20,11 @@ def epe_loss(pred, target, mask=None):
     With a mask, averages only over mask==1 points (reference
     ``dr_spaam.py:22-27``); without, averages over everything.
     """
-    err = jnp.linalg.norm(pred - target, axis=-1)
+    # loss math always in f32: a bf16 model feeds bf16 preds here, but
+    # norms/means accumulate poorly in bf16 (mixed-precision policy:
+    # bf16 network, f32 loss)
+    err = jnp.linalg.norm(pred.astype(jnp.float32)
+                          - target.astype(jnp.float32), axis=-1)
     if mask is None:
         return jnp.mean(err)
     m = mask.astype(err.dtype)
@@ -96,6 +100,8 @@ def box_regression_loss(pred, target, alpha: float = 0.5):
     3-dim targets: ``[l, w, ori]``        -> sum|dims| + alpha*|ori|.
     """
     d = pred.shape[-1]
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     if d == 5:
         loss_z = jnp.mean(jnp.abs(pred[..., 0] - target[..., 0]))
         loss_dim = jnp.mean(jnp.sum(jnp.abs(pred[..., 1:-1] - target[..., 1:-1]),
@@ -119,7 +125,11 @@ def detection_loss(pred_cls, pred_reg, target_cls, target_reg,
     distance over foreground points only.
     """
     n = target_cls.size
-    cls_flat = pred_cls.reshape(n, -1)
+    # f32 loss math regardless of the network dtype: bf16 sigmoid saturates
+    # to exactly 1.0 for logits >= ~7 (1 - 2^-9 is the last value below 1),
+    # so a bf16 BCE-on-probabilities returns log(0) = -inf
+    cls_flat = pred_cls.reshape(n, -1).astype(jnp.float32)
+    pred_reg = pred_reg.astype(jnp.float32)
     tgt_flat = target_cls.reshape(n)
     if pedestrian_only or cls_flat.shape[-1] == 1:
         probs = jax.nn.sigmoid(cls_flat[:, 0])

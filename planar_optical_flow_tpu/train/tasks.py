@@ -20,6 +20,19 @@ from planar_optical_flow_tpu.ops.cutout import scans_to_cutout, area_s_for
 from planar_optical_flow_tpu.ops.geometry import get_laser_phi
 
 
+def _model_dtype(variables):
+    """The floating dtype of the model parameters — mixed-precision
+    training casts params (not the batch), so model INPUTS must be cast to
+    this dtype by the task, after any f32 encoding/geometry. Feeding f32
+    inputs to bf16 params would silently promote the whole network back to
+    f32 (flax ``promote_dtype``)."""
+    for leaf in jax.tree_util.tree_leaves(variables.get("params", {})):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            return leaf.dtype
+    return jnp.float32
+
+
 def _apply(apply_fn, variables, args, kwargs, train, rng=None):
     """Run the model, collecting batch-norm updates when training."""
     rngs = {"dropout": rng} if rng is not None else None
@@ -40,8 +53,9 @@ class FlowUNetTask:
     masked: bool = False
 
     def loss(self, apply_fn, variables, batch, train, rng=None):
-        scan1 = batch["scan_pair"][:, 0]
-        scan2 = batch["scan_pair"][:, 1]
+        dt = _model_dtype(variables)
+        scan1 = batch["scan_pair"][:, 0].astype(dt)
+        scan2 = batch["scan_pair"][:, 1].astype(dt)
         pred, new_stats = _apply(apply_fn, variables, (scan1, scan2), {},
                                  train, rng)
         mask = batch.get("exclude_mask") if self.masked else None
@@ -106,7 +120,8 @@ class DetectionTask:
         return self._encode_cutout(scans)
 
     def forward(self, apply_fn, variables, batch, train, rng=None):
-        encoded = self._encode(batch["scans"])
+        encoded = self._encode(batch["scans"])  # geometry stays f32
+        encoded = encoded.astype(_model_dtype(variables))
         return _apply(apply_fn, variables, (encoded,), {}, train, rng)
 
     def loss(self, apply_fn, variables, batch, train, rng=None):
@@ -142,8 +157,9 @@ class FlowDrowTask(DetectionTask):
     ``eval_utils.model_fn_dr_spaam:90-110`` / ``model_fn_eval:136-155``)."""
 
     def loss(self, apply_fn, variables, batch, train, rng=None):
-        cutouts = self._encode(batch["scans"])
-        cur_scan = batch["scans"][:, -1]
+        dt = _model_dtype(variables)
+        cutouts = self._encode(batch["scans"]).astype(dt)
+        cur_scan = batch["scans"][:, -1].astype(dt)
         out, new_stats = _apply(apply_fn, variables, (cutouts, cur_scan), {},
                                 train, rng)
         pred_cls, pred_reg, pred_flow = out
@@ -216,13 +232,14 @@ class FlowDrowFusedTask(FlowDrowTask):
             area_mode=bool(kw.get("area_mode", False)),
             interpret=self.interpret,
         )
-        cur_scan = scans[:, -1]
+        dt = _model_dtype(variables)
+        cur_scan = scans[:, -1].astype(dt)
         # the flow head — the only trained submodule — runs in the module
         # (exact math, BN stats update); grads reach only its params
         rngs = {"dropout": rng} if rng is not None else None
         if train:
             pred_flow, mutated = apply_fn(
-                variables, sim_band.astype(cur_scan.dtype), cur_scan,
+                variables, sim_band.astype(dt), cur_scan,
                 method=lambda m, s, c: m._flow_head(s, c, train=True),
                 mutable=["batch_stats"], rngs=rngs,
             )
@@ -231,7 +248,7 @@ class FlowDrowFusedTask(FlowDrowTask):
             new_stats.update(dict(mutated["batch_stats"]))
         else:
             pred_flow = apply_fn(
-                variables, sim_band.astype(cur_scan.dtype), cur_scan,
+                variables, sim_band.astype(dt), cur_scan,
                 method=lambda m, s, c: m._flow_head(s, c, train=False),
             )
             new_stats = None
@@ -256,8 +273,8 @@ class BoxRegressionTask:
     is_3d: bool = True
 
     def loss(self, apply_fn, variables, batch, train, rng=None):
-        pred, new_stats = _apply(apply_fn, variables, (batch["input"],), {},
-                                 train, rng)
+        x = batch["input"].astype(_model_dtype(variables))
+        pred, new_stats = _apply(apply_fn, variables, (x,), {}, train, rng)
         loss = ops.box_regression_loss(pred, batch["target"], self.alpha)
         return loss, {"loss": loss}, {"pred": pred}, new_stats
 

@@ -60,7 +60,10 @@ class Trainer:
         self._log_norms = bool(cfg.get("log_norms", True))
         # mixed-precision training: forward/backward in this dtype with f32
         # master weights + f32 optimizer state (grads come back f32 through
-        # the cast); batch stats stay f32. None/"float32" = full precision
+        # the cast); batch stats stay f32. The BATCH is deliberately not
+        # cast — tasks cast the model inputs after their f32 input encoding
+        # (see tasks._model_dtype), so scan geometry, targets and the loss
+        # keep full precision. None/"float32" = full precision
         cd = cfg.get("compute_dtype")
         self._compute_dtype = (
             jnp.dtype(cd) if cd not in (None, "float32", "f32") else None
@@ -108,9 +111,8 @@ class Trainer:
                         cast_tree(state.batch_stats, cdt)
                         if cdt is not None else state.batch_stats
                     )
-                b = cast_tree(batch, cdt) if cdt is not None else batch
                 loss, tb, _, new_stats = task.loss(
-                    state.apply_fn, variables, b, True, rng
+                    state.apply_fn, variables, batch, True, rng
                 )
                 if cdt is not None:
                     loss = loss.astype(jnp.float32)
