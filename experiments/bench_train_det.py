@@ -73,25 +73,34 @@ dt = (time.perf_counter() - t0) / n * 1000
 print(f"cutout encode alone (XLA matmul mode, {B}x{T} scans): "
       f"{dt:.2f} ms", flush=True)
 
-# bf16 mixed-precision variant (the Trainer's compute_dtype knob): the
-# detection step is conv fwd+bwd dominated (encode is ~7%), so unlike
-# FlowDROW this one should see real MXU-rate gains
-state = create_train_state(model, (x0,), tx,  # the f32 bench donated its state
-                           init_kwargs={"train": False})
-with tempfile.TemporaryDirectory() as td:
-    logger = RunLogger({"log_dir": td, "tag": "bench"})
-    tr = Trainer(logger, {"epoch": 1, "ckpt_interval": 1000,
-                          "compute_dtype": "bfloat16"}, task,
-                 install_signal_handlers=False)
-    tr._build_steps(state)
-    key = jax.random.PRNGKey(0)
-    s, tb = tr._train_step(state, batch, key)
-    float(tb["loss"])
-    t0 = time.perf_counter()
-    n = 30
-    for _ in range(n):
-        s, tb = tr._train_step(s, batch, key)
-    float(tb["loss"])
-    dt = (time.perf_counter() - t0) / n * 1000
-    print(f"DetectionTask train step bf16: {dt:.2f} ms "
-          f"({B * 1000 / dt:.0f} samples/s)", flush=True)
+# bf16 mixed-precision variant (the Trainer's compute_dtype knob) at the
+# reference batch and at larger TPU-friendly batches (fixed per-step costs
+# amortize; the conv efficiency rises with more rows)
+for b_sz in (8, 32, 64):
+    bb = {
+        "scans": jnp.asarray(rng.uniform(0.5, 25.0, (b_sz, T, P)),
+                             jnp.float32),
+        "target_cls": jnp.asarray(
+            rng.integers(0, 2, (b_sz, P, 1)), jnp.float32),
+        "target_reg": jnp.asarray(rng.normal(size=(b_sz, P, 2)) * 0.1,
+                                  jnp.float32),
+    }
+    state = create_train_state(model, (x0,), tx,
+                               init_kwargs={"train": False})
+    with tempfile.TemporaryDirectory() as td:
+        logger = RunLogger({"log_dir": td, "tag": "bench"})
+        tr = Trainer(logger, {"epoch": 1, "ckpt_interval": 1000,
+                              "compute_dtype": "bfloat16"}, task,
+                     install_signal_handlers=False)
+        tr._build_steps(state)
+        key = jax.random.PRNGKey(0)
+        s, tb = tr._train_step(state, bb, key)
+        float(tb["loss"])
+        t0 = time.perf_counter()
+        n = 30
+        for _ in range(n):
+            s, tb = tr._train_step(s, bb, key)
+        float(tb["loss"])
+        dt = (time.perf_counter() - t0) / n * 1000
+        print(f"DetectionTask train step bf16 B={b_sz}: {dt:.2f} ms "
+              f"({b_sz * 1000 / dt:.0f} samples/s)", flush=True)

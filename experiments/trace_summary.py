@@ -25,6 +25,8 @@ for e in events:
         tid_name[(e["pid"], e["tid"])] = e["args"].get("name", "")
 
 by_op = collections.Counter()
+by_cat = collections.Counter()
+by_src = collections.Counter()
 by_lane = collections.Counter()
 total = 0.0
 for e in events:
@@ -38,13 +40,26 @@ for e in events:
     if "xla op" not in lane.lower():
         continue  # the op-level lane only (module/step lanes double-count)
     dur = e.get("dur", 0) / 1000.0  # us -> ms
+    args = e.get("args", {})
     by_op[e["name"][:90]] += dur
+    by_cat[args.get("hlo_category", "?")] += dur
+    src = args.get("source", "?")
+    src = src.replace("/opt/venv/lib/python3.12/site-packages/", "")
+    src = src.replace("/root/repo/planar_optical_flow_tpu/", "")
+    by_src[src] += dur
     by_lane[lane] += dur
     total += dur
 
 print(f"trace: {path}")
 print(f"lanes: {dict(by_lane)}")
 print(f"total device time: {total:.2f} ms over {n_steps} steps "
-      f"= {total / n_steps:.2f} ms/step\n")
-for name, dur in by_op.most_common(40):
+      f"= {total / n_steps:.2f} ms/step")
+print("\n-- by hlo_category --")
+for name, dur in by_cat.most_common(15):
+    print(f"{dur / n_steps:8.3f} ms/step  {name}")
+print("\n-- by source line --")
+for name, dur in by_src.most_common(25):
+    print(f"{dur / n_steps:8.3f} ms/step  {name}")
+print("\n-- by op --")
+for name, dur in by_op.most_common(30):
     print(f"{dur / n_steps:8.3f} ms/step  {name}")
