@@ -89,7 +89,10 @@ class DetectionTask:
     testing) or "xla". The Pallas kernel (in-VMEM lane gathers,
     ``ops/pallas/cutout_kernel.py``) replaces ~7.6 ms of XLA one-hot-matmul
     encode per 8x11-scan train step with ~0.7 ms, and requires
-    ``fixed=True, stride=1`` (each scan windows its own ranges).
+    ``fixed=True, stride=1`` (each scan windows its own ranges). For
+    mesh-sharded (pjit) training prefer ``encode_impl: xla`` —
+    ``pallas_call`` carries no SPMD partitioning rule, so the partitioner
+    replicates the encode instead of sharding it along the batch.
     """
 
     cutout_kwargs: dict = field(default_factory=dict)

@@ -253,3 +253,39 @@ def test_bf16_mixed_precision_training_learns(tmp_path, rng):
     ]
     assert len(losses) >= 8
     assert losses[-1] < losses[0]
+
+
+def test_tasks_cast_model_inputs_to_param_dtype(rng):
+    """Mixed precision contract: with bf16 params, every task feeds the
+    model bf16 inputs (f32 inputs would silently promote the whole network
+    back to f32 via flax promote_dtype — the round-3 perf bug)."""
+    from planar_optical_flow_tpu.train import tasks
+
+    recorded = {}
+
+    def fake_apply(variables, *args, **kwargs):
+        recorded["dtypes"] = [a.dtype for a in args
+                              if hasattr(a, "dtype")
+                              and jnp.issubdtype(a.dtype, jnp.floating)]
+        b = args[0].shape[0]
+        out = (jnp.zeros((b, 450, 1), jnp.bfloat16),
+               jnp.zeros((b, 450, 2), jnp.bfloat16))
+        if kwargs.get("mutable"):
+            return out, {"batch_stats": {}}
+        return out
+
+    variables = {"params": {"w": jnp.zeros((3,), jnp.bfloat16)},
+                 "batch_stats": None}
+    batch = {
+        "scans": jnp.asarray(rng.uniform(0.5, 20.0, (2, 3, 450)),
+                             jnp.float32),
+        "target_cls": jnp.zeros((2, 450, 1), jnp.float32),
+        "target_reg": jnp.zeros((2, 450, 2), jnp.float32),
+    }
+    task = tasks.DetectionTask(
+        cutout_kwargs=dict(fixed=True, num_cutout_pts=8), num_pts=450,
+        pedestrian_only=True)
+    loss, tb, _, _ = task.loss(fake_apply, variables, batch, train=True)
+    assert recorded["dtypes"] == [jnp.bfloat16]
+    # loss math must come back f32 even from bf16 predictions
+    assert loss.dtype == jnp.float32
