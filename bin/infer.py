@@ -52,6 +52,13 @@ def main(argv=None):
                              "path (e.g. next to the checkpoint)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
+    if args.engine != "int8c":
+        # fail loudly instead of silently ignoring calibration flags (the
+        # run would otherwise complete with no calibration written/used)
+        if args.save_calib:
+            parser.error("--save-calib requires --engine int8c")
+        if args.calib:
+            parser.error("--calib requires --engine int8c")
 
     if args.cpu:
         import jax
@@ -112,7 +119,10 @@ def main(argv=None):
                              cfg["dataset"].get("cutout_kwargs", {}),
                              engine=args.engine, calib=calib,
                              calib_scans=calib_scans)
-    if args.save_calib and runner.calibration is not None:
+    if args.save_calib:
+        if runner.calibration is None:
+            print("error: no calibration produced to save", file=sys.stderr)
+            return 1
         print(f"calibration saved to {runner.calibration.save(args.save_calib)}")
 
     all_out = []

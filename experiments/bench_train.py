@@ -19,7 +19,7 @@ CUT = dict(
     num_cutout_pts=56, padding_val=29.99, area_mode=True,
     gather_mode="matmul")
 task = tasks.FlowDrowTask(cutout_kwargs=CUT)
-fused_task = tasks.FlowDrowFusedTask(cutout_kwargs=CUT, window_size=11)
+fused_task = tasks.FlowDrowFusedTask.for_model(model, cutout_kwargs=CUT)
 batch = {
     "scans": jnp.asarray(rng.uniform(0.5, 25.0, (B, T, P)), jnp.float32),
     "target_flow": jnp.asarray(rng.normal(size=(B, P, 2)) * 0.1, jnp.float32),

@@ -177,10 +177,6 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
         warnings.warn(
             f"compute_dtype/gate_mix are ignored by engine={engine!r}; "
             "pass engine='module' to use them", stacklevel=2)
-    if gate_mix is None:
-        # the pallas banded gate needs sublane-aligned cutout blocks; at
-        # e.g. 450 pts fall back to the XLA mix (same numerics)
-        gate_mix = "pallas" if num_pts % 8 == 0 else "xla"
     b = max(1, min(batch_streams, t_total))
     t_chunk = (t_total + b - 1) // b
     pad = b * t_chunk - t_total
@@ -201,6 +197,10 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
             calib_scans=None if calib is not None else frames.scans[:8],
             interpret=interpret)
     else:
+        if gate_mix is None:
+            # the pallas banded gate needs sublane-aligned cutout blocks;
+            # at e.g. 450 pts fall back to the XLA mix (same numerics)
+            gate_mix = "pallas" if num_pts % 8 == 0 else "xla"
         step = make_serve_step(model, variables, cutout_kwargs,
                                num_pts=num_pts,
                                compute_dtype=compute_dtype,

@@ -40,6 +40,12 @@ class ServeCalibration:
     ``bb_*`` covers backbone layers 2..6 (layer 1's input scale is
     ``bb_in_scale``); ``hd_*`` covers head conv layers 1..5. The head's
     input scale doubles as the int8c template-carry scale.
+
+    ``weights_checksum`` (sum of squares over the detector params) ties
+    the artifact to the weights it was calibrated on: applying a stale
+    calibration to retrained weights would silently degrade int8 accuracy,
+    so ``make_serve_step_v3`` validates it (and the geometry fields) when
+    a restored calibration is passed in.
     """
 
     bb_in_scale: float
@@ -48,6 +54,7 @@ class ServeCalibration:
     hd_act_scales: list
     num_pts: int = 450
     num_cutout_pts: int = 48
+    weights_checksum: float | None = None
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

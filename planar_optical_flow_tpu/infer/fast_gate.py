@@ -401,20 +401,18 @@ def gate_bootstrap(params: GateParams, x):
 # ---------------------------------------------------------------------------
 
 
-def _gate_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref,
-                                out_ref, z_ref, sim_ref, *, hw, alpha,
-                                ct, ct_valid, l4, tile, s_x, s_t, s_out):
-    """Whole-stream position-major int8 gate: ONE grid step per stream.
+def _int8_attention_body(zx_raw, zt_raw, *, hw, alpha, ct, ct_valid):
+    """Shared front half of all int8 gate kernels, on one stream's
+    (ct, zdim) embedding block: leaky-ReLU embeddings -> banded similarity
+    -> masked softmax -> dense banded attention.
 
-    vs :func:`_gate_int8_pm_kernel` (grid (stream, position)): the banded
-    attention is built once and the l4 per-position mix matmuls run in the
-    same kernel body — no per-position grid overhead, and the (ct, ct)
-    attention never round-trips through scratch across grid steps.
-    Blocks: x/t/out (1, T, l4, tile, C); zx/zt/z (1, ct, 128);
-    sim (1, ct, win).
-    """
-    zx = zx_ref[0].astype(jnp.float32)  # (ct, 128)
-    zt = zt_ref[0].astype(jnp.float32)
+    Returns ``(attn_q int8 (ct, ct) at scale 1/127, z_new (ct, zdim) f32
+    alpha-blend of the z carry, sim (ct, win) f32 with the reference's
+    edge-clamped duplicates)``. The three int8 kernels (cutout-major,
+    pm grid, pm per-stream) must stay bit-identical — their parity tests
+    assert it — so the banded math lives here exactly once."""
+    zx = zx_raw.astype(jnp.float32)  # (ct, zdim)
+    zt = zt_raw.astype(jnp.float32)
     ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
     et = jnp.where(zt > 0, zt, _LEAKY_SLOPE * zt)
 
@@ -439,17 +437,37 @@ def _gate_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref,
     attn_d = jnp.zeros((ct, ct), jnp.float32)
     for k, o in enumerate(range(-hw, hw + 1)):
         attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
+    # attn in [0, 1]: int8 at scale 1/127
     attn_q = jnp.clip(jnp.rint(attn_d * 127.0), -127, 127).astype(jnp.int8)
 
     zmix = jax.lax.dot_general(
-        attn_d.astype(jnp.bfloat16), zt_ref[0].astype(jnp.bfloat16),
+        attn_d.astype(jnp.bfloat16), zt_raw.astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    z_ref[0] = (alpha * zx + (1.0 - alpha) * zmix).astype(z_ref.dtype)
+    z_new = alpha * zx + (1.0 - alpha) * zmix
     c0 = jnp.sum(ex * et[0:1], axis=-1, keepdims=True)
     c1 = jnp.sum(ex * et[ct_valid - 1:ct_valid], axis=-1, keepdims=True)
     clamped = jnp.where(ri + oi < 0, c0, c1)
-    sim_ref[0] = jnp.where(valid, s, clamped).astype(sim_ref.dtype)
+    sim = jnp.where(valid, s, clamped)
+    return attn_q, z_new, sim
+
+
+def _gate_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref,
+                                out_ref, z_ref, sim_ref, *, hw, alpha,
+                                ct, ct_valid, l4, tile, s_x, s_t, s_out):
+    """Whole-stream position-major int8 gate: ONE grid step per stream.
+
+    vs :func:`_gate_int8_pm_kernel` (grid (stream, position)): the banded
+    attention is built once and the l4 per-position mix matmuls run in the
+    same kernel body — no per-position grid overhead, and the (ct, ct)
+    attention never round-trips through scratch across grid steps.
+    Blocks: x/t/out (1, T, l4, tile, C); zx/zt/z (1, ct, 128);
+    sim (1, ct, win).
+    """
+    attn_q, z_new, sim = _int8_attention_body(
+        zx_ref[0], zt_ref[0], hw=hw, alpha=alpha, ct=ct, ct_valid=ct_valid)
+    z_ref[0] = z_new.astype(z_ref.dtype)
+    sim_ref[0] = sim.astype(sim_ref.dtype)
 
     t_blocks = ct // tile
     for p in range(l4):
@@ -481,44 +499,12 @@ def _gate_int8_pm_kernel(zx_ref, zt_ref, x_ref, t_ref,
 
     @pl.when(p == 0)
     def _():
-        zx = zx_ref[0].astype(jnp.float32)  # (ct, 128)
-        zt = zt_ref[0].astype(jnp.float32)
-        ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
-        et = jnp.where(zt > 0, zt, _LEAKY_SLOPE * zt)
-
-        cols = []
-        for o in range(-hw, hw + 1):
-            sh = pltpu.roll(et, (-o) % ct, axis=0) if o else et
-            cols.append(jnp.sum(ex * sh, axis=-1, keepdims=True))
-        s = jnp.concatenate(cols, axis=1)  # (ct, 2hw+1)
-
-        ri = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 0)
-        oi = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 1) - hw
-        valid = ((ri + oi >= 0) & (ri + oi < ct_valid) & (ri < ct_valid))
-        masked = jnp.where(valid, s, -1e10)
-        m = jnp.max(masked, axis=1, keepdims=True)
-        e = jnp.exp(masked - m)
-        e = jnp.where(valid, e, 0.0)
-        attn = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-20)
-
-        rr = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
-        diag = cc - rr
-        attn_d = jnp.zeros((ct, ct), jnp.float32)
-        for k, o in enumerate(range(-hw, hw + 1)):
-            attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
-        attn_scr[:] = jnp.clip(jnp.rint(attn_d * 127.0), -127, 127
-                               ).astype(jnp.int8)
-
-        zmix = jax.lax.dot_general(
-            attn_d.astype(jnp.bfloat16), zt_ref[0].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        z_ref[0] = (alpha * zx + (1.0 - alpha) * zmix).astype(z_ref.dtype)
-        c0 = jnp.sum(ex * et[0:1], axis=-1, keepdims=True)
-        c1 = jnp.sum(ex * et[ct_valid - 1:ct_valid], axis=-1, keepdims=True)
-        clamped = jnp.where(ri + oi < 0, c0, c1)
-        sim_ref[0] = jnp.where(valid, s, clamped).astype(sim_ref.dtype)
+        attn_q, z_new, sim = _int8_attention_body(
+            zx_ref[0], zt_ref[0], hw=hw, alpha=alpha, ct=ct,
+            ct_valid=ct_valid)
+        attn_scr[:] = attn_q
+        z_ref[0] = z_new.astype(z_ref.dtype)
+        sim_ref[0] = sim.astype(sim_ref.dtype)
 
     t = t_ref[:].reshape(ct, -1)  # (1,T,1,tile,C) -> (ct, C), free merge
     mixed32 = jax.lax.dot_general(
@@ -641,45 +627,12 @@ def _gate_int8_kernel(zx_ref, zt_ref, x_ref, t_ref,
 
     @pl.when(j == 0)
     def _():
-        zx = zx_ref[:].astype(jnp.float32)  # (ct, 128)
-        zt = zt_ref[:].astype(jnp.float32)
-        ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
-        et = jnp.where(zt > 0, zt, _LEAKY_SLOPE * zt)
-
-        cols = []
-        for o in range(-hw, hw + 1):
-            sh = pltpu.roll(et, (-o) % ct, axis=0) if o else et
-            cols.append(jnp.sum(ex * sh, axis=-1, keepdims=True))
-        s = jnp.concatenate(cols, axis=1)  # (ct, 2hw+1)
-
-        ri = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 0)
-        oi = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 1) - hw
-        valid = ((ri + oi >= 0) & (ri + oi < ct_valid) & (ri < ct_valid))
-        masked = jnp.where(valid, s, -1e10)
-        m = jnp.max(masked, axis=1, keepdims=True)
-        e = jnp.exp(masked - m)
-        e = jnp.where(valid, e, 0.0)
-        attn = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-20)
-
-        rr = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
-        diag = cc - rr
-        attn_d = jnp.zeros((ct, ct), jnp.float32)
-        for k, o in enumerate(range(-hw, hw + 1)):
-            attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
-        # attn in [0, 1]: int8 at scale 1/127
-        attn_scr[:] = jnp.clip(jnp.rint(attn_d * 127.0), -127, 127
-                               ).astype(jnp.int8)
-
-        zmix = jax.lax.dot_general(
-            attn_d.astype(jnp.bfloat16), zt_ref[:].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        z_ref[:] = (alpha * zx + (1.0 - alpha) * zmix).astype(z_ref.dtype)
-        c0 = jnp.sum(ex * et[0:1], axis=-1, keepdims=True)
-        c1 = jnp.sum(ex * et[ct_valid - 1:ct_valid], axis=-1, keepdims=True)
-        clamped = jnp.where(ri + oi < 0, c0, c1)
-        sim_ref[:] = jnp.where(valid, s, clamped).astype(sim_ref.dtype)
+        attn_q, z_new, sim = _int8_attention_body(
+            zx_ref[:], zt_ref[:], hw=hw, alpha=alpha, ct=ct,
+            ct_valid=ct_valid)
+        attn_scr[:] = attn_q
+        z_ref[:] = z_new.astype(z_ref.dtype)
+        sim_ref[:] = sim.astype(sim_ref.dtype)
 
     mixed32 = jax.lax.dot_general(
         attn_scr[:], t_ref[:], (((1,), (0,)), ((), ())),

@@ -1175,16 +1175,10 @@ def fused_backbone_int8_p2cut(scans, weights, layer1_weights, l: int = 56,
     if l % 4:
         raise ValueError("l must be a multiple of 4")
     t_blocks = p_pad // tile
-    scans = scans.astype(jnp.float32)
-    csum = jnp.cumsum(scans, axis=-1)
-    csum = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=-1)
-    half_alpha = jnp.arctan(0.5 * window_width / jnp.maximum(scans, 1e-2))
-    wp = ((p_pad + 1 + 127) // 128) * 128
-    n_chunks = wp // 128
-    schunk = jnp.pad(scans, ((0, 0), (0, wp - p_pad))).reshape(
-        b, n_chunks, 128)
-    cchunk = jnp.pad(csum, ((0, 0), (0, wp - p_pad - 1))).reshape(
-        b, n_chunks, 128)
+    from planar_optical_flow_tpu.ops.pallas.cutout_kernel import cutout_prep
+
+    scans, half_alpha, schunk, cchunk, n_chunks = cutout_prep(
+        scans, window_width)
     col = lambda a: a.reshape(b, p_pad, 1)
 
     wsel, bsel = l1_mm_weights(layer1_weights[0], layer1_weights[1],

@@ -96,6 +96,28 @@ def cutout_block(dists, half_alpha, scan_chunks, csum_chunks, *, rows,
     return ct
 
 
+def cutout_prep(scans, window_width: float):
+    """Host/XLA pre-shaping shared by the standalone kernel and the fused
+    cutout+backbone program (``conv_stack.fused_backbone_int8_p2cut``):
+    (B, P) scans -> (scans f32, half_alpha (B, P), scan chunks, prefix-sum
+    chunks, n_chunks) with the beam tables padded to 128-lane chunks for
+    the kernel's single-vreg lane gathers. The prefix sum gets a leading
+    zero so ``csum[i]`` = sum of beams < i (area-mode band means)."""
+    b, p = scans.shape
+    scans = scans.astype(jnp.float32)
+    csum = jnp.cumsum(scans, axis=-1)
+    csum = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=-1)
+    half_alpha = jnp.arctan(  # Mosaic has no atan; tiny (B, P) XLA op
+        0.5 * window_width / jnp.maximum(scans, 1e-2)
+    )
+    wp = ((p + 1 + 127) // 128) * 128
+    n_chunks = wp // 128
+    schunk = jnp.pad(scans, ((0, 0), (0, wp - p))).reshape(b, n_chunks, 128)
+    cchunk = jnp.pad(csum, ((0, 0), (0, wp - p - 1))).reshape(
+        b, n_chunks, 128)
+    return scans, half_alpha, schunk, cchunk, n_chunks
+
+
 def _cutout_kernel(scol_ref, ha_ref, schunk_ref, cchunk_ref, out_ref, *,
                    num_pts, p_valid, c, n_chunks, angle_inc, window_depth,
                    padding_val, centered, area_mode):
@@ -125,17 +147,8 @@ def cutout_fused(scans, num_cutout_pts: int = 56, window_width: float = 1.0,
     b, p = scans.shape
     c = num_cutout_pts
     p_valid = p_valid or p
-    scans = scans.astype(jnp.float32)
-    csum = jnp.cumsum(scans, axis=-1)
-    csum = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=-1)
-    half_alpha = jnp.arctan(  # Mosaic has no atan; tiny (B, P) XLA op
-        0.5 * window_width / jnp.maximum(scans, 1e-2)
-    )
-    wp = ((p + 1 + 127) // 128) * 128
-    n_chunks = wp // 128
-    schunk = jnp.pad(scans, ((0, 0), (0, wp - p))).reshape(b, n_chunks, 128)
-    cchunk = jnp.pad(csum, ((0, 0), (0, wp - p - 1))).reshape(
-        b, n_chunks, 128)
+    scans, half_alpha, schunk, cchunk, n_chunks = cutout_prep(
+        scans, window_width)
     kernel = functools.partial(
         _cutout_kernel, num_pts=p, p_valid=int(p_valid), c=c,
         n_chunks=n_chunks, angle_inc=float(angle_inc),

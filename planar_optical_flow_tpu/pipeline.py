@@ -103,7 +103,7 @@ def normalize_config(cfg: dict) -> dict:
     return nested
 
 
-def _build_task(cfg: dict):
+def _build_task(cfg: dict, model=None):
     mtype = cfg["model"]["type"]
     ds = cfg["dataset"]
     if mtype in ("flow_unet", "prototype", "prototype_test"):
@@ -126,10 +126,10 @@ def _build_task(cfg: dict):
         if cfg["model"].get("fused_frozen_detector"):
             import jax as _jax
 
-            return tasks.FlowDrowFusedTask(
-                **common,
-                alpha=cfg["model"].get("alpha", 0.5),
-                window_size=cfg["model"].get("window_size", 7),
+            # alpha/window_size come from the MODEL (not the raw config),
+            # so the frozen-detector replay can't mismatch the gate
+            return tasks.FlowDrowFusedTask.for_model(
+                model, **common,
                 interpret=_jax.default_backend() == "cpu",
             )
         return tasks.FlowDrowTask(**common)
@@ -214,8 +214,8 @@ class Pipeline:
         self.cfg = cfg
         pcfg = cfg["pipeline"]
         self.logger = RunLogger(pcfg["Logger"])
-        self.task = _build_task(cfg)
         self.model = get_model(cfg["model"])
+        self.task = _build_task(cfg, self.model)
         self.train_set, self.val_set = _build_datasets(cfg, synthetic_dir)
 
         bsz = cfg["dataloader"]["batch_size"]

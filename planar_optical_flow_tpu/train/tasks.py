@@ -89,10 +89,11 @@ class DetectionTask:
     testing) or "xla". The Pallas kernel (in-VMEM lane gathers,
     ``ops/pallas/cutout_kernel.py``) replaces ~7.6 ms of XLA one-hot-matmul
     encode per 8x11-scan train step with ~0.7 ms, and requires
-    ``fixed=True, stride=1`` (each scan windows its own ranges). For
-    mesh-sharded (pjit) training prefer ``encode_impl: xla`` —
+    ``fixed=True, stride=1`` (each scan windows its own ranges). Under
+    mesh-sharded (pjit) training the Trainer resolves "auto" to "xla" —
     ``pallas_call`` carries no SPMD partitioning rule, so the partitioner
-    replicates the encode instead of sharding it along the batch.
+    would replicate the encode instead of sharding it along the batch
+    (an explicit "pallas" is still honored).
     """
 
     cutout_kwargs: dict = field(default_factory=dict)
@@ -105,10 +106,19 @@ class DetectionTask:
     def _encode_cutout(self, scans):
         kw = dict(self.cutout_kwargs)
         impl = kw.pop("encode_impl", "auto")
+        eligible = kw.get("fixed", False) and kw.get("stride", 1) == 1
+        if impl in ("pallas", "pallas_interpret") and not eligible:
+            # an explicit request must not silently fall back to the ~10x
+            # slower XLA encode (and a parity test would compare the XLA
+            # path against itself)
+            raise ValueError(
+                f"cutout_kwargs encode_impl={impl!r} requires fixed=True "
+                "and stride=1 (the pallas cutout kernel's supported "
+                "geometry); use encode_impl='auto' or 'xla' otherwise"
+            )
         pallas_ok = (
             impl in ("auto", "pallas", "pallas_interpret")
-            and kw.get("fixed", False)
-            and kw.get("stride", 1) == 1
+            and eligible
             and not (impl == "auto" and jax.default_backend() == "cpu")
         )
         if pallas_ok:
@@ -243,11 +253,24 @@ class FlowDrowFusedTask(FlowDrowTask):
     Requires the fixed-geometry cutout config (``fixed=True, stride=1``)
     and a ``flow_drow`` model with ``freeze_detector=True``. Eval
     (:meth:`metrics`) keeps the exact module path.
+
+    ``alpha``/``window_size`` MUST match the model's gate configuration —
+    the task replays the frozen detector outside the module, so a
+    mismatched alpha silently mixes templates differently from the model.
+    Construct via :meth:`for_model` to derive them from the model.
     """
 
     alpha: float = 0.5
     window_size: int = 7
     interpret: bool = False
+
+    @classmethod
+    def for_model(cls, model, **kwargs):
+        """Build the task with ``alpha``/``window_size`` taken from the
+        model's gate config (the safe way — no silent mismatch)."""
+        kwargs.setdefault("alpha", float(model.alpha))
+        kwargs.setdefault("window_size", int(model.window_size))
+        return cls(**kwargs)
 
     def loss(self, apply_fn, variables, batch, train, rng=None):
         from planar_optical_flow_tpu.train.fused_frozen import (

@@ -42,6 +42,18 @@ class Trainer:
                  state_sharding_fn=None, install_signal_handlers: bool = True,
                  seed: int = 0):
         self._logger = logger
+        if mesh is not None and hasattr(task, "cutout_kwargs"):
+            # pallas_call carries no SPMD partitioning rule: under pjit an
+            # encode_impl="auto" cutout would be REPLICATED on every chip
+            # instead of sharded along the batch — resolve auto to the XLA
+            # encode here (the mechanism, not just the docstring caveat).
+            # An explicit "pallas" is honored as requested.
+            kw = dict(task.cutout_kwargs)
+            if kw.get("encode_impl", "auto") == "auto":
+                import dataclasses as _dc
+
+                kw["encode_impl"] = "xla"
+                task = _dc.replace(task, cutout_kwargs=kw)
         self._task = task
         self._lr_schedule = lr_schedule
         self._mesh = mesh

@@ -241,3 +241,38 @@ def test_int8c_ap_gate(tmp_path):
         model, state.variables, engine="int8c", **common)["ap"]
     assert ap_f32 > 0.2, ap_f32  # the detector actually learned something
     assert abs(ap_int8 - ap_f32) < 0.05, (ap_int8, ap_f32)
+
+
+def test_calibration_validation_rejects_stale():
+    """A restored calibration is validated against the serving geometry
+    and a weights fingerprint — a stale calibration.json (wrong config or
+    retrained checkpoint) raises instead of silently degrading int8 AP."""
+    import dataclasses
+
+    from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
+
+    num_pts = 64
+    model, variables = _small_model(num_pts=num_pts)
+    rng = np.random.default_rng(7)
+    calib_scans = rng.uniform(0.5, 20.0, (2, num_pts)).astype(np.float32)
+    s1 = make_serve_step_v3(model, variables, CUTOUT_KW,
+                            calib_scans=calib_scans, num_pts=num_pts,
+                            with_nms=False, precision="int8c", tile=16,
+                            interpret=True)
+    calib = s1.calibration
+    assert calib.weights_checksum is not None
+
+    bad_geo = dataclasses.replace(calib, num_pts=128)
+    with pytest.raises(ValueError, match="geometry"):
+        make_serve_step_v3(model, variables, CUTOUT_KW, calib=bad_geo,
+                           num_pts=num_pts, with_nms=False,
+                           precision="int8c", tile=16, interpret=True)
+
+    # "continued training": perturbed weights no longer match the artifact
+    retrained = jax.tree_util.tree_map(
+        lambda a: a * 1.05 if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        variables)
+    with pytest.raises(ValueError, match="different weights"):
+        make_serve_step_v3(model, retrained, CUTOUT_KW, calib=calib,
+                           num_pts=num_pts, with_nms=False,
+                           precision="int8c", tile=16, interpret=True)

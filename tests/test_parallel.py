@@ -258,3 +258,29 @@ def test_sharded_serve_step_int8c_matches_single_device(rng):
         keep_match = (np.asarray(out_m["det_keep"])
                       == np.asarray(out_s["det_keep"])).mean()
         assert keep_match > 0.95, keep_match
+
+
+def test_trainer_mesh_resolves_auto_encode_to_xla(tmp_path):
+    """Under a mesh, encode_impl='auto' must resolve to the XLA cutout
+    encode (pallas_call has no SPMD rule — it would replicate per chip);
+    an explicit 'pallas' and the no-mesh path are left untouched."""
+    from planar_optical_flow_tpu.train import tasks
+    from planar_optical_flow_tpu.train.trainer import Trainer
+    from planar_optical_flow_tpu.utils.logger import RunLogger
+
+    logger = RunLogger({"log_dir": str(tmp_path), "tag": "t"})
+    auto_task = tasks.DetectionTask(
+        cutout_kwargs={"fixed": True, "encode_impl": "auto"})
+    tr = Trainer(logger, {"epoch": 1}, auto_task, mesh=make_mesh(),
+                 install_signal_handlers=False)
+    assert tr._task.cutout_kwargs["encode_impl"] == "xla"
+
+    explicit = tasks.DetectionTask(
+        cutout_kwargs={"fixed": True, "encode_impl": "pallas"})
+    tr = Trainer(logger, {"epoch": 1}, explicit, mesh=make_mesh(),
+                 install_signal_handlers=False)
+    assert tr._task.cutout_kwargs["encode_impl"] == "pallas"
+
+    tr = Trainer(logger, {"epoch": 1}, auto_task,
+                 install_signal_handlers=False)
+    assert tr._task.cutout_kwargs["encode_impl"] == "auto"

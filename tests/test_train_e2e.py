@@ -289,3 +289,18 @@ def test_tasks_cast_model_inputs_to_param_dtype(rng):
     assert recorded["dtypes"] == [jnp.bfloat16]
     # loss math must come back f32 even from bf16 predictions
     assert loss.dtype == jnp.float32
+
+
+def test_explicit_pallas_encode_requires_fixed_geometry():
+    """encode_impl='pallas' without the kernel-supported geometry must
+    raise, not silently fall back to the XLA encode (which would also
+    make pallas-vs-xla parity tests compare XLA against itself)."""
+    task = tasks.DetectionTask(
+        cutout_kwargs={"encode_impl": "pallas", "num_cutout_pts": 16})
+    with pytest.raises(ValueError, match="fixed=True"):
+        task._encode_cutout(jnp.zeros((1, 2, 16)))
+    task = tasks.DetectionTask(
+        cutout_kwargs={"encode_impl": "pallas_interpret", "fixed": True,
+                       "stride": 2, "num_cutout_pts": 16})
+    with pytest.raises(ValueError, match="stride=1"):
+        task._encode_cutout(jnp.zeros((1, 2, 16)))
