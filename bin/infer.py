@@ -142,7 +142,10 @@ def main(argv=None):
             dets = dets @ rot.T + [x, y]
             if flow is not None:
                 flow = flow @ rot.T
-        all_out.append({"dets": dets, "conf": conf[sel], "flow": flow})
+        inst = (np.asarray(out["instance_mask"][0])
+                if "instance_mask" in out else None)
+        all_out.append({"dets": dets, "conf": conf[sel], "flow": flow,
+                        "instance_mask": inst})
         if i % 50 == 0:
             print(f"frame {i}: {len(dets)} detections")
 

@@ -119,9 +119,33 @@ def render_sequence_video(frames_fn, num_frames: int, path: str, fps: int = 10):
     plt.close(fig)
 
 
+def color_wheel(ax, resolution: int = 200, radius: float = 3.0):
+    """HSV flow-direction legend wheel (reference
+    ``viz_utils.color_wheel``, ``viz_utils.py:415-443``): hue encodes flow
+    direction, saturation encodes magnitude up to ``radius``."""
+    xs = np.linspace(-radius, radius, resolution)
+    xx, yy = np.meshgrid(xs, xs)
+    rgb = flow_to_hsv(np.stack([xx, yy], axis=-1), saturate_at=radius)
+    rr = np.hypot(xx, yy)
+    rgba = np.concatenate(
+        [rgb, (rr <= radius)[..., None].astype(float)], axis=-1)
+    ax.imshow(rgba, extent=(-radius, radius, -radius, radius),
+              origin="lower")
+    ax.set_aspect("equal")
+    ax.set_xlabel("flow x")
+    ax.set_ylabel("flow y")
+    return ax
+
+
 def render_detection_video(scans, results, path: str, fps: int = 10,
                            conf_radius: float = 0.4):
-    """Scan + detections (+ flow arrows when present) per frame."""
+    """Scan + detections (+ flow arrows when present) per frame.
+
+    When a result carries an ``instance_mask`` (per-point instance id from
+    the vote NMS), flow arrows are colored per instance — the reference's
+    joint person-flow rendering (``viz_utils.plot_person_flow``,
+    ``viz_utils.py:445-510``); background (id 0) points stay blue."""
+    import matplotlib.pyplot as plt
 
     def draw(ax, i):
         plot_scan(ax, scans[i])
@@ -130,7 +154,18 @@ def render_detection_video(scans, results, path: str, fps: int = 10,
             plot_detections(ax, r["dets"], r.get("conf"),
                             radius=conf_radius)
         if r.get("flow") is not None:
-            plot_flow_arrows(ax, scans[i], r["flow"])
+            inst = r.get("instance_mask")
+            if inst is not None and np.max(inst) > 0:
+                cmap = plt.get_cmap("tab10")
+                for k in np.unique(inst):
+                    sel = np.asarray(inst) == k
+                    color = "blue" if k == 0 else cmap((int(k) - 1) % 10)
+                    plot_flow_arrows(ax, np.asarray(scans[i])[sel],
+                                     np.asarray(r["flow"])[sel],
+                                     phi=get_laser_phi(len(scans[i]))[sel],
+                                     color=color)
+            else:
+                plot_flow_arrows(ax, scans[i], r["flow"])
         ax.set_title(f"frame {i}")
 
     render_sequence_video(draw, len(scans), path, fps)

@@ -146,6 +146,24 @@ def test_viz_smoke(tmp_path, rng):
     stem = os.path.splitext(out)[0]
     assert os.path.exists(out) or os.path.isdir(stem)
 
+    # HSV legend wheel (reference viz_utils.color_wheel)
+    fig, ax = plt.subplots()
+    viz.color_wheel(ax, resolution=32)
+    plt.close(fig)
+
+    # instance-colored joint person-flow rendering (plot_person_flow)
+    inst = np.zeros(450, np.int32)
+    inst[100:120] = 1
+    inst[200:230] = 2
+    out2 = str(tmp_path / "pf.mp4")
+    viz.render_detection_video(
+        np.stack([scan, scan]),
+        [{"dets": np.array([[1.0, 2.0]]), "conf": np.array([0.9]),
+          "flow": flow, "instance_mask": inst}] * 2,
+        out2, fps=2,
+    )
+    assert os.path.exists(out2) or os.path.isdir(os.path.splitext(out2)[0])
+
 
 def test_pedestrian_only_dynamic_mask_sees_all_classes(tmp_path):
     """In pedestrian_only mode the exclude (dynamic) mask must still account
