@@ -19,25 +19,78 @@ KAIMING_LEAKY = nn.initializers.variance_scaling(
     scale=2.0 / (1.0 + 0.1**2), mode="fan_in", distribution="normal"
 )
 
+# Process-wide default conv implementation for ConvBlock (resolved at
+# TRACE time; changing it between jit traces retraces):
+#   "conv" — lax convolution via nn.Conv (XLA's conv lowering),
+#   "taps" — tap-concat matmul: y[l] = [x[l-h..l+h]] @ Wcat + b, one
+#            (B*L, k*C) x (k*C, F) dot. Differentiable plain XLA (the
+#            backward is matmul transposes + shifted adds), same param
+#            tree as nn.Conv, so checkpoints are interchangeable. The
+#            serving kernels proved this form beats the conv lowering for
+#            the skinny K<=768 DR-SPAAM shapes; `conv_impl: taps` in the
+#            Trainer config A/Bs it for training.
+_DEFAULT_CONV_IMPL = ["conv"]
+
+
+def set_default_conv_impl(impl: str):
+    if impl not in ("conv", "taps"):
+        raise ValueError(f"unknown conv impl {impl!r}")
+    _DEFAULT_CONV_IMPL[0] = impl
+
+
+class _TapsConv(nn.Module):
+    """kernel>1, stride-1 SAME conv as ONE tap-concat matmul. Param names
+    and shapes match ``nn.Conv`` (kernel ``(k, C, F)``, bias ``(F,)``)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        b, l, c = x.shape
+        kernel = self.param("kernel", KAIMING_LEAKY, (k, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pads = k // 2
+        xp = jnp.pad(x, ((0, 0), (pads, k - 1 - pads), (0, 0)))
+        xcat = jnp.concatenate(
+            [xp[:, j:j + l, :] for j in range(k)], axis=-1)
+        y = jnp.einsum(
+            "blc,cf->blf", xcat,
+            kernel.reshape(k * c, self.features),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return y + bias
+
 
 class ConvBlock(nn.Module):
-    """Conv1D + BatchNorm + LeakyReLU."""
+    """Conv1D + BatchNorm + LeakyReLU.
+
+    ``impl``: None resolves to the process default (see
+    :func:`set_default_conv_impl`); "taps" applies only to kernel>1
+    stride-1 blocks (others always use the lax convolution)."""
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     negative_slope: float = 0.1
     use_bn: bool = True
+    impl: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(
-            self.features,
-            kernel_size=(self.kernel_size,),
-            strides=(self.stride,),
-            padding="SAME" if self.kernel_size > 1 else "VALID",
-            kernel_init=KAIMING_LEAKY,
-        )(x)
+        impl = self.impl or _DEFAULT_CONV_IMPL[0]
+        if impl == "taps" and self.kernel_size > 1 and self.stride == 1:
+            x = _TapsConv(self.features, self.kernel_size,
+                          name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(self.kernel_size,),
+                strides=(self.stride,),
+                padding="SAME" if self.kernel_size > 1 else "VALID",
+                kernel_init=KAIMING_LEAKY,
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5

@@ -83,6 +83,7 @@ def normalize_config(cfg: dict) -> dict:
                 "eval_interval": cfg.get("eval_interval", 5),
                 "epoch": cfg.get("epochs", 1),
                 "compute_dtype": cfg.get("compute_dtype"),
+                "conv_impl": cfg.get("conv_impl"),
             },
             "mesh": cfg.get("mesh"),
             "Optim": {

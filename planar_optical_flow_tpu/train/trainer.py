@@ -80,6 +80,15 @@ class Trainer:
         self._compute_dtype = (
             jnp.dtype(cd) if cd not in (None, "float32", "f32") else None
         )
+        if cfg.get("conv_impl"):
+            # "taps" = tap-concat matmul convs (same params; see
+            # models.blocks.set_default_conv_impl). Process-wide default,
+            # resolved when the step traces.
+            from planar_optical_flow_tpu.models.blocks import (
+                set_default_conv_impl,
+            )
+
+            set_default_conv_impl(cfg["conv_impl"])
         self._rng = jax.random.PRNGKey(seed)
 
         self._sigterm = False

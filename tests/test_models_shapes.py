@@ -178,3 +178,50 @@ def test_banded_gate_full_model_parity(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_taps_conv_matches_lax_conv():
+    """ConvBlock impl="taps" (tap-concat matmul) is numerically the lax
+    convolution with the SAME param tree: init under one impl, apply
+    under the other, forward and grads agree."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from planar_optical_flow_tpu.models.blocks import ConvBlock
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 56, 16)), jnp.float32)
+    conv = ConvBlock(32, 3, impl="conv")
+    taps = ConvBlock(32, 3, impl="taps")
+    variables = conv.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(
+                taps.init(jax.random.PRNGKey(0), x, train=False)))
+
+    y_conv = conv.apply(variables, x, train=False)
+    y_taps = taps.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_taps),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(mod):
+        def f(params):
+            v = {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})}
+            y, _ = mod.apply(v, x, train=True, mutable=["batch_stats"])
+            return jnp.sum(y ** 2)
+        return jax.grad(f)(variables["params"])
+
+    g_conv = loss(conv)
+    g_taps = loss(taps)
+    for a, b in zip(jax.tree_util.tree_leaves(g_conv),
+                    jax.tree_util.tree_leaves(g_taps)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+    # stride/1x1 blocks fall back to the lax conv under impl="taps"
+    strided = ConvBlock(32, 3, stride=2, impl="taps")
+    v2 = strided.init(jax.random.PRNGKey(1), x, train=False)
+    ref = ConvBlock(32, 3, stride=2, impl="conv")
+    np.testing.assert_allclose(
+        np.asarray(strided.apply(v2, x, train=False)),
+        np.asarray(ref.apply(v2, x, train=False)), rtol=1e-6, atol=1e-6)
