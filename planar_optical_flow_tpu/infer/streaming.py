@@ -527,11 +527,14 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         # weights fingerprint (one small jitted scalar): ties a calibration
         # artifact to the weights it was computed from — a stale
         # calibration.json next to a retrained checkpoint would otherwise
-        # silently quantize new weights with old scales
-        wsum = float(jax.jit(lambda t: sum(
-            jnp.sum(jnp.square(leaf.astype(jnp.float32)))
-            for leaf in jax.tree_util.tree_leaves(t)
-        ))(det_vars["params"]))
+        # silently quantize new weights with old scales. Computed only
+        # when stored or validated (it costs one small remote compile).
+        def _weights_checksum():
+            return float(jax.jit(lambda t: sum(
+                jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+                for leaf in jax.tree_util.tree_leaves(t)
+            ))(det_vars["params"]))
+
         if calib is not None:
             if (calib.num_pts != num_pts
                     or calib.num_cutout_pts != ct_len):
@@ -541,14 +544,16 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                     f"match the serving config (num_pts={num_pts}, "
                     f"num_cutout_pts={ct_len}) — recalibrate for this "
                     "configuration")
-            if calib.weights_checksum is not None and not (
-                    abs(calib.weights_checksum - wsum)
-                    <= 1e-3 * max(abs(wsum), 1.0)):
-                raise ValueError(
-                    "calibration was computed for different weights "
-                    f"(checksum {calib.weights_checksum:.6g} vs "
-                    f"{wsum:.6g}) — the checkpoint was likely retrained; "
-                    "recalibrate and re-save calibration.json")
+            if calib.weights_checksum is not None:
+                wsum = _weights_checksum()
+                if not (abs(calib.weights_checksum - wsum)
+                        <= 1e-3 * max(abs(wsum), 1.0)):
+                    raise ValueError(
+                        "calibration was computed for different weights "
+                        f"(checksum {calib.weights_checksum:.6g} vs "
+                        f"{wsum:.6g}) — the checkpoint was likely "
+                        "retrained; recalibrate and re-save "
+                        "calibration.json")
         if calib is None:
             if calib_scans is None:
                 raise ValueError(
@@ -581,7 +586,7 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                 hd_in_scale=float(hd_in_scale),
                 hd_act_scales=[float(s) for s in hd_act_scales],
                 num_pts=num_pts, num_cutout_pts=ct_len,
-                weights_checksum=wsum,
+                weights_checksum=_weights_checksum(),
             )
         # with an int8 carry the backbone's LAST layer also requants (its
         # epilogue scale is then in feats-scale units, not true f32)
