@@ -225,3 +225,29 @@ def test_taps_conv_matches_lax_conv():
     np.testing.assert_allclose(
         np.asarray(strided.apply(v2, x, train=False)),
         np.asarray(ref.apply(v2, x, train=False)), rtol=1e-6, atol=1e-6)
+
+
+def test_taps_impl_model_level_parity():
+    """Process-default conv_impl="taps" leaves whole-model outputs
+    unchanged (FlowUNet mixes stride-2 encoders, stride-1 decoders and
+    1x1 heads — covers every ConvBlock fallback branch)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from planar_optical_flow_tpu.models import FlowUNet
+    from planar_optical_flow_tpu.models.blocks import set_default_conv_impl
+
+    rng = np.random.default_rng(1)
+    s1 = jnp.asarray(rng.uniform(1, 10, (2, 64, 2)), jnp.float32)
+    s2 = jnp.asarray(rng.uniform(1, 10, (2, 64, 2)), jnp.float32)
+    try:
+        set_default_conv_impl("conv")
+        model = FlowUNet()
+        variables = model.init(jax.random.PRNGKey(0), s1, s2, train=False)
+        y_conv = model.apply(variables, s1, s2, train=False)
+        set_default_conv_impl("taps")
+        y_taps = model.apply(variables, s1, s2, train=False)
+    finally:
+        set_default_conv_impl("conv")
+    np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_taps),
+                               rtol=2e-4, atol=2e-4)
