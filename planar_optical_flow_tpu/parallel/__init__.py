@@ -10,3 +10,6 @@ from planar_optical_flow_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     initialize_distributed,
 )
+from planar_optical_flow_tpu.parallel.context_parallel import (  # noqa: F401
+    gate_step_context_parallel,
+)

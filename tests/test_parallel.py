@@ -284,3 +284,47 @@ def test_trainer_mesh_resolves_auto_encode_to_xla(tmp_path):
     tr = Trainer(logger, {"epoch": 1}, auto_task,
                  install_signal_handlers=False)
     assert tr._task.cutout_kwargs["encode_impl"] == "auto"
+
+
+def test_context_parallel_gate_matches_dense(rng):
+    """Banded-attention gate with the CUTOUT axis sharded over 8 devices
+    (ppermute halo exchange) == the dense single-device gate: template,
+    z carry and the edge-clamped sim_band all agree (SURVEY §2.11 SP/CP
+    row, built)."""
+    import numpy as np
+    from planar_optical_flow_tpu.infer import fast_gate as fg
+    from planar_optical_flow_tpu.parallel import (
+        gate_step_context_parallel,
+    )
+
+    b, ct, d, z = 2, 64, 96, 16
+    window = 11  # hw=5 <= shard size 8
+    kernel = rng.normal(0, 0.1, (d, z)).astype(np.float32)
+    params = fg.GateParams(
+        w=jnp.asarray(kernel), b=jnp.asarray(rng.normal(0, 0.1, z),
+                                             jnp.float32),
+        alpha=0.4, window_size=window,
+    )
+    x = jnp.asarray(rng.normal(0, 1, (b, ct, d)), jnp.float32)
+    template = jnp.asarray(rng.normal(0, 1, (b, ct, d)), jnp.float32)
+    z_t = fg.embed(params, template)
+
+    ref_t, ref_z, ref_sim = fg.gate_step(params, x, template, z_t,
+                                         use_pallas=False)
+    mesh = make_mesh()
+    cp_t, cp_z, cp_sim = gate_step_context_parallel(
+        params, x, template, z_t, mesh, axis="data")
+
+    np.testing.assert_allclose(np.asarray(cp_t), np.asarray(ref_t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cp_z), np.asarray(ref_z),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cp_sim), np.asarray(ref_sim),
+                               rtol=1e-5, atol=1e-5)
+
+    # shard-size guard: a window too wide for the shard raises
+    import pytest as _pytest
+    wide = fg.GateParams(w=params.w, b=params.b, alpha=0.4, window_size=19)
+    with _pytest.raises(ValueError, match="halo"):
+        gate_step_context_parallel(wide, x, template, z_t, mesh,
+                                   axis="data")
