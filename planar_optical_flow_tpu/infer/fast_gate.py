@@ -175,6 +175,12 @@ def banded_mix_update(attn, x, template, alpha: float, window_size: int,
 
     attn: (B, ct, window); x, template: (B, ct, D). One Pallas program; the
     template block stays VMEM-resident so it is read from HBM exactly once.
+
+    NOTE: not on any serve path anymore — ``gate_step(use_pallas=True)``
+    routes to the fully fused :func:`gate_fused` (attention + mix + carry
+    in one program). Kept as the standalone mix primitive it was measured
+    as (``experiments/probe_r2b.py``) and as the reference implementation
+    for the fused kernel's mix stage.
     """
     b, ct, d = template.shape
     hw = window_size // 2
@@ -223,50 +229,12 @@ def _gate_fused_kernel(zx_ref, zt_ref, x_ref, t_ref,
 
     @pl.when(j == 0)
     def _():
-        zx = zx_ref[:].astype(jnp.float32)  # (ct, 128)
-        zt = zt_ref[:].astype(jnp.float32)
-        ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
-        et = jnp.where(zt > 0, zt, _LEAKY_SLOPE * zt)
-
-        # banded similarity: s[:, k] = sum(ex * et[r + o]) for o = k - hw
-        cols = []
-        for o in range(-hw, hw + 1):
-            sh = pltpu.roll(et, (-o) % ct, axis=0) if o else et
-            cols.append(jnp.sum(ex * sh, axis=-1, keepdims=True))
-        s = jnp.concatenate(cols, axis=1)  # (ct, 2hw+1)
-
-        # ct may be padded up to a sublane multiple; rows/cols beyond
-        # ct_valid are dead (attn 0, guarded denominator)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 0)
-        oi = jax.lax.broadcasted_iota(jnp.int32, (ct, 2 * hw + 1), 1) - hw
-        valid = ((ri + oi >= 0) & (ri + oi < ct_valid) & (ri < ct_valid))
-        masked = jnp.where(valid, s, -1e10)
-        m = jnp.max(masked, axis=1, keepdims=True)
-        e = jnp.exp(masked - m)
-        e = jnp.where(valid, e, 0.0)
-        attn = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-20)
-
-        # dense banded attention: attn[:, k] on diagonal o = k - hw
-        rr = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
-        diag = cc - rr
-        attn_d = jnp.zeros((ct, ct), jnp.float32)
-        for k, o in enumerate(range(-hw, hw + 1)):
-            attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
+        attn_d, z_new, sim = _attention_body(
+            zx_ref[:], zt_ref[:], hw=hw, alpha=alpha, ct=ct,
+            ct_valid=ct_valid, mix_dtype=compute_dtype)
         attn_scr[:] = attn_d.astype(attn_scr.dtype)
-
-        # new_z = alpha * zx + (1 - alpha) * attn @ z_t
-        zmix = jax.lax.dot_general(
-            attn_d.astype(compute_dtype), zt_ref[:].astype(compute_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        z_ref[:] = (alpha * zx + (1.0 - alpha) * zmix).astype(z_ref.dtype)
-        # sim_band with the reference's edge-clamped duplicates: invalid
-        # offsets read the clamped column (0 or ct-1)
-        c0 = jnp.sum(ex * et[0:1], axis=-1, keepdims=True)   # (ct, 1)
-        c1 = jnp.sum(ex * et[ct_valid - 1:ct_valid], axis=-1, keepdims=True)
-        clamped = jnp.where(ri + oi < 0, c0, c1)
-        sim_ref[:] = jnp.where(valid, s, clamped).astype(sim_ref.dtype)
+        z_ref[:] = z_new.astype(z_ref.dtype)
+        sim_ref[:] = sim.astype(sim_ref.dtype)
 
     t = t_ref[:]
     mixed = jax.lax.dot_general(
@@ -320,6 +288,10 @@ def gate_fused_flat(zx, zt, x, template, ct: int, alpha: float,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((ct, ct), jnp.float32)],
+        # write new_t over template and new_z over zt: the serving step
+        # donates the carry, and without the alias XLA inserts a full
+        # template copy to satisfy the donation (same as the pm kernel)
+        input_output_aliases={3: 0, 1: 1},
         interpret=interpret,
     )(zx, zt, x, template)
     return new_t, new_z, sim
@@ -401,16 +373,20 @@ def gate_bootstrap(params: GateParams, x):
 # ---------------------------------------------------------------------------
 
 
-def _int8_attention_body(zx_raw, zt_raw, *, hw, alpha, ct, ct_valid):
-    """Shared front half of all int8 gate kernels, on one stream's
-    (ct, zdim) embedding block: leaky-ReLU embeddings -> banded similarity
-    -> masked softmax -> dense banded attention.
+def _attention_body(zx_raw, zt_raw, *, hw, alpha, ct, ct_valid,
+                    mix_dtype=jnp.bfloat16):
+    """Shared front half of ALL fused gate kernels (f32/bf16 and int8),
+    on one stream's (ct, zdim) embedding block: leaky-ReLU embeddings ->
+    banded similarity -> masked softmax -> dense banded attention.
 
-    Returns ``(attn_q int8 (ct, ct) at scale 1/127, z_new (ct, zdim) f32
-    alpha-blend of the z carry, sim (ct, win) f32 with the reference's
-    edge-clamped duplicates)``. The three int8 kernels (cutout-major,
-    pm grid, pm per-stream) must stay bit-identical — their parity tests
-    assert it — so the banded math lives here exactly once."""
+    Returns ``(attn_d f32 (ct, ct) dense banded attention, z_new
+    (ct, zdim) f32 alpha-blend of the z carry, sim (ct, win) f32 with the
+    reference's edge-clamped duplicates)``. ``mix_dtype`` is the operand
+    dtype of the z-mix matmul (bf16 on the int8 paths; the float kernel
+    passes its compute dtype). All gate kernels must stay bit-identical
+    per precision — their parity tests assert it — so the banded math
+    lives here exactly once (int8 callers quantize ``attn_d`` to scale
+    1/127 themselves)."""
     zx = zx_raw.astype(jnp.float32)  # (ct, zdim)
     zt = zt_raw.astype(jnp.float32)
     ex = jnp.where(zx > 0, zx, _LEAKY_SLOPE * zx)
@@ -437,11 +413,9 @@ def _int8_attention_body(zx_raw, zt_raw, *, hw, alpha, ct, ct_valid):
     attn_d = jnp.zeros((ct, ct), jnp.float32)
     for k, o in enumerate(range(-hw, hw + 1)):
         attn_d = jnp.where(diag == o, attn[:, k:k + 1], attn_d)
-    # attn in [0, 1]: int8 at scale 1/127
-    attn_q = jnp.clip(jnp.rint(attn_d * 127.0), -127, 127).astype(jnp.int8)
 
     zmix = jax.lax.dot_general(
-        attn_d.astype(jnp.bfloat16), zt_raw.astype(jnp.bfloat16),
+        attn_d.astype(mix_dtype), zt_raw.astype(mix_dtype),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     z_new = alpha * zx + (1.0 - alpha) * zmix
@@ -449,7 +423,12 @@ def _int8_attention_body(zx_raw, zt_raw, *, hw, alpha, ct, ct_valid):
     c1 = jnp.sum(ex * et[ct_valid - 1:ct_valid], axis=-1, keepdims=True)
     clamped = jnp.where(ri + oi < 0, c0, c1)
     sim = jnp.where(valid, s, clamped)
-    return attn_q, z_new, sim
+    return attn_d, z_new, sim
+
+
+def _quantize_attn(attn_d):
+    """attn in [0, 1]: int8 at scale 1/127."""
+    return jnp.clip(jnp.rint(attn_d * 127.0), -127, 127).astype(jnp.int8)
 
 
 def _gate_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref,
@@ -464,8 +443,9 @@ def _gate_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref,
     Blocks: x/t/out (1, T, l4, tile, C); zx/zt/z (1, ct, 128);
     sim (1, ct, win).
     """
-    attn_q, z_new, sim = _int8_attention_body(
+    attn_d, z_new, sim = _attention_body(
         zx_ref[0], zt_ref[0], hw=hw, alpha=alpha, ct=ct, ct_valid=ct_valid)
+    attn_q = _quantize_attn(attn_d)
     z_ref[0] = z_new.astype(z_ref.dtype)
     sim_ref[0] = sim.astype(sim_ref.dtype)
 
@@ -499,10 +479,10 @@ def _gate_int8_pm_kernel(zx_ref, zt_ref, x_ref, t_ref,
 
     @pl.when(p == 0)
     def _():
-        attn_q, z_new, sim = _int8_attention_body(
+        attn_d, z_new, sim = _attention_body(
             zx_ref[0], zt_ref[0], hw=hw, alpha=alpha, ct=ct,
             ct_valid=ct_valid)
-        attn_scr[:] = attn_q
+        attn_scr[:] = _quantize_attn(attn_d)
         z_ref[0] = z_new.astype(z_ref.dtype)
         sim_ref[0] = sim.astype(sim_ref.dtype)
 
@@ -542,7 +522,13 @@ def gate_fused_int8_pm(zx, zt, x_q, t_q, ct: int, tile: int, l4: int,
     """
     n, c = x_q.shape
     zdim = zx.shape[-1]
+    if ct % tile:
+        raise ValueError(f"ct={ct} not a multiple of tile={tile}")
     t_blocks = ct // tile
+    if n % (t_blocks * l4 * tile):
+        raise ValueError(
+            f"{n} pm rows is not a whole number of streams "
+            f"(t_blocks={t_blocks} * l4={l4} * tile={tile})")
     s_streams = n // (t_blocks * l4 * tile)
     hw = window_size // 2
     win = 2 * hw + 1
@@ -627,10 +613,10 @@ def _gate_int8_kernel(zx_ref, zt_ref, x_ref, t_ref,
 
     @pl.when(j == 0)
     def _():
-        attn_q, z_new, sim = _int8_attention_body(
+        attn_d, z_new, sim = _attention_body(
             zx_ref[:], zt_ref[:], hw=hw, alpha=alpha, ct=ct,
             ct_valid=ct_valid)
-        attn_scr[:] = attn_q
+        attn_scr[:] = _quantize_attn(attn_d)
         z_ref[:] = z_new.astype(z_ref.dtype)
         sim_ref[:] = sim.astype(sim_ref.dtype)
 
@@ -690,6 +676,8 @@ def gate_fused_int8(zx, zt, x_q, t_q, ct: int, alpha: float,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((ct, ct), jnp.int8)],
+        # in-place carry update under donation (same as the pm kernel)
+        input_output_aliases={3: 0, 1: 1},
         interpret=interpret,
     )(zx, zt, x_q, t_q)
     return new_t, new_z, sim

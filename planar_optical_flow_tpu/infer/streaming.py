@@ -23,6 +23,41 @@ from planar_optical_flow_tpu.ops.geometry import (
     canonical_to_global_flow,
 )
 from planar_optical_flow_tpu.ops.nms import nms_predicted_center
+
+
+def _detection_epilogue(scan, pred_cls, pred_reg, flow, phi_j, *,
+                        with_nms, nms_min_dist, nms_top_k=None):
+    """Shared tail of every serving step: sigmoid -> canonical->global
+    flow rotation -> vote NMS. One definition so the five step builders
+    cannot drift (same outputs contract everywhere).
+
+    ``flow``: canonical-frame (B, P, 2) f32 or None; ``pred_cls``/
+    ``pred_reg``/``scan`` f32. ``nms_top_k`` selects the top-k serving
+    NMS (exactness argument at ``ops/nms.py:19-28``)."""
+    probs = jax.nn.sigmoid(pred_cls)
+    out = {"pred_cls": probs, "pred_reg": pred_reg}
+    if flow is not None:
+        out["pred_flow"] = canonical_to_global_flow(flow, phi_j)
+    if with_nms:
+        conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
+        if nms_top_k:
+            from planar_optical_flow_tpu.ops.nms import (
+                nms_predicted_center_topk,
+            )
+
+            nms_fn = lambda s, c, r: nms_predicted_center_topk(
+                s, phi_j, c, r, min_dist=nms_min_dist, top_k=nms_top_k
+            )
+        else:
+            nms_fn = lambda s, c, r: nms_predicted_center(
+                s, phi_j, c, r, min_dist=nms_min_dist
+            )
+        det_xys, det_cls, keep, inst = jax.vmap(nms_fn)(
+            scan, conf, pred_reg
+        )
+        out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
+                   instance_mask=inst)
+    return out
 from planar_optical_flow_tpu.models.flow_drow import FlowDrow
 
 
@@ -117,22 +152,14 @@ def make_fused_stream_step(model, variables, cutout_kwargs,
         )
         pred_cls = cls.reshape(b, num_pts, -1)
         pred_reg = reg.reshape(b, num_pts, 2)
-        out = {"pred_cls": jax.nn.sigmoid(pred_cls), "pred_reg": pred_reg}
+        flow = None
         if is_flow:
             flow = flow_apply(
                 sim, scan.astype(cdt) if compute_dtype else scan
             ).astype(jnp.float32)
-            out["pred_flow"] = canonical_to_global_flow(flow, phi_j)
-        if with_nms:
-            probs = out["pred_cls"]
-            conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
-            det_xys, det_cls, keep, inst = jax.vmap(
-                lambda s, c, r: nms_predicted_center(
-                    s, phi_j, c, r, min_dist=nms_min_dist
-                )
-            )(scan, conf, pred_reg)
-            out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
-                       instance_mask=inst)
+        out = _detection_epilogue(scan, pred_cls, pred_reg, flow, phi_j,
+                                  with_nms=with_nms,
+                                  nms_min_dist=nms_min_dist)
         return new_template, out
 
     step_boot = jax.jit(lambda s: step(None, s))
@@ -236,20 +263,12 @@ def make_quantized_stream_step(model, variables, cutout_kwargs, calib_scans,
         cls, reg = qd.quantized_head_apply(q_hd, heads, tq)
         pred_cls = cls.reshape(b, num_pts, -1)
         pred_reg = reg.reshape(b, num_pts, 2)
-        out = {"pred_cls": jax.nn.sigmoid(pred_cls), "pred_reg": pred_reg}
+        flow = None
         if is_flow:
             flow = flow_apply(sim, scan.astype(gate_dtype)).astype(jnp.float32)
-            out["pred_flow"] = canonical_to_global_flow(flow, phi_j)
-        if with_nms:
-            probs = out["pred_cls"]
-            conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
-            det_xys, det_cls, keep, inst = jax.vmap(
-                lambda s, c, r: nms_predicted_center(
-                    s, phi_j, c, r, min_dist=nms_min_dist
-                )
-            )(scan, conf, pred_reg)
-            out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
-                       instance_mask=inst)
+        out = _detection_epilogue(scan, pred_cls, pred_reg, flow, phi_j,
+                                  with_nms=with_nms,
+                                  nms_min_dist=nms_min_dist)
         return new_template, out
 
     step_boot = jax.jit(lambda s: step(None, s))
@@ -276,8 +295,9 @@ def make_serve_step(model, variables, cutout_kwargs, num_pts: int = 450,
     embedding — one 186 GFLOP dense mix and one full template re-read less
     per step. The carry is a dict ``{"template", "z"}``.
 
-    ``gate_mix``: "pallas" (VMEM-resident banded mix kernel) or "xla"
-    (shifted-FMA fallback).
+    ``gate_mix``: "pallas" (the fully fused ``fast_gate.gate_fused``
+    kernel — banded attention + dense-band MXU mix + z carry in one
+    program) or "xla" (band attention + shifted-FMA mix, same numerics).
 
     Returns ``step(carry, scan) -> (carry', outputs)`` with the (eval-mode)
     weights closed over; pass ``carry=None`` to bootstrap a stream.
@@ -344,32 +364,15 @@ def make_serve_step(model, variables, cutout_kwargs, num_pts: int = 450,
         pred_cls, pred_reg = head_apply(template)
         pred_cls = pred_cls.astype(jnp.float32)
         pred_reg = pred_reg.astype(jnp.float32)
-        probs = jax.nn.sigmoid(pred_cls)
-        out = {"pred_cls": probs, "pred_reg": pred_reg}
+        flow = None
         if is_flow:
             flow = flow_apply(
                 sim_band, scan.astype(cdt) if compute_dtype else scan
             ).astype(jnp.float32)
-            out["pred_flow"] = canonical_to_global_flow(flow, phi_j)
-        if with_nms:
-            conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
-            if nms_top_k:
-                from planar_optical_flow_tpu.ops.nms import (
-                    nms_predicted_center_topk,
-                )
-
-                nms_fn = lambda s, c, r: nms_predicted_center_topk(
-                    s, phi_j, c, r, min_dist=nms_min_dist, top_k=nms_top_k
-                )
-            else:
-                nms_fn = lambda s, c, r: nms_predicted_center(
-                    s, phi_j, c, r, min_dist=nms_min_dist
-                )
-            det_xys, det_cls, keep, inst = jax.vmap(nms_fn)(
-                scan, conf, pred_reg
-            )
-            out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
-                       instance_mask=inst)
+        out = _detection_epilogue(scan, pred_cls, pred_reg, flow, phi_j,
+                                  with_nms=with_nms,
+                                  nms_min_dist=nms_min_dist,
+                                  nms_top_k=nms_top_k)
         return {"template": template, "z": z}, out
 
     step_boot = jax.jit(lambda s: step(None, s))
@@ -454,6 +457,18 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     # p2_l1_mode="mm" layer 1 runs as ONE selection-folded f32 matmul
     # (probe_r3g: 12.7 ms vs pm's 15.4 at B=128 with the per-stream
     # gate; crosses the 10k scans/s north star).
+    if precision not in ("bf16", "int8", "int8c"):
+        raise ValueError(f"unknown precision {precision!r}")
+    if layout not in ("flat", "pm", "cell", "p2", "p2c"):
+        raise ValueError(f"unknown layout {layout!r}")
+    if layout != "p2" and precision != "int8c":
+        # the pm-family layouts only exist for the int8c kernels; a
+        # non-default layout with another precision would silently run
+        # the cutout-major path and misattribute its numbers
+        raise ValueError(
+            f"layout={layout!r} requires precision='int8c' "
+            f"(got {precision!r}); bf16/int8 use the cutout-major "
+            "kernels (pass layout='p2', the default, or switch precision)")
     pm = precision == "int8c" and layout in ("pm", "cell", "p2", "p2c")
     p2 = precision == "int8c" and layout in ("p2", "p2c")
     cell = precision == "int8c" and layout == "cell"
@@ -807,34 +822,16 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                     .astype(jnp.float32))
         pred_reg = (reg.reshape(b, p_pad, 2)[:, :num_pts]
                     .astype(jnp.float32))
-        probs = jax.nn.sigmoid(pred_cls)
-        out = {"pred_cls": probs, "pred_reg": pred_reg}
+        flow = None
         if is_flow:
             sim_b = (sim.reshape(b, p_pad, -1)[:, :num_pts]
                      .astype(jnp.bfloat16))
-            flow = flow_apply(sim_b, scan.astype(jnp.bfloat16))
-            out["pred_flow"] = canonical_to_global_flow(
-                flow.astype(jnp.float32), phi_j
-            )
-        if with_nms:
-            conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
-            if nms_top_k:
-                from planar_optical_flow_tpu.ops.nms import (
-                    nms_predicted_center_topk,
-                )
-
-                nms_fn = lambda s, c, r: nms_predicted_center_topk(
-                    s, phi_j, c, r, min_dist=nms_min_dist, top_k=nms_top_k
-                )
-            else:
-                nms_fn = lambda s, c, r: nms_predicted_center(
-                    s, phi_j, c, r, min_dist=nms_min_dist
-                )
-            det_xys, det_cls, keep, inst = jax.vmap(nms_fn)(
-                scan, conf, pred_reg
-            )
-            out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
-                       instance_mask=inst)
+            flow = flow_apply(sim_b, scan.astype(jnp.bfloat16)).astype(
+                jnp.float32)
+        out = _detection_epilogue(scan, pred_cls, pred_reg, flow, phi_j,
+                                  with_nms=with_nms,
+                                  nms_min_dist=nms_min_dist,
+                                  nms_top_k=nms_top_k)
         return {"template": template, "z": z}, out
 
     if mesh is not None:
@@ -964,19 +961,9 @@ def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
             scan = scan.astype(jnp.float32)
             if pred_flow is not None:
                 pred_flow = pred_flow.astype(jnp.float32)
-        probs = jax.nn.sigmoid(pred_cls)
-        out = {"pred_cls": probs, "pred_reg": pred_reg}
-        if pred_flow is not None:
-            out["pred_flow"] = canonical_to_global_flow(pred_flow, phi_j)
-        if with_nms:
-            conf = probs if probs.shape[-1] == 1 else probs[..., -1:]
-            det_xys, det_cls, keep, inst = jax.vmap(
-                lambda s, c, r: nms_predicted_center(
-                    s, phi_j, c, r, min_dist=nms_min_dist
-                )
-            )(scan, conf, pred_reg)
-            out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
-                       instance_mask=inst)
+        out = _detection_epilogue(scan, pred_cls, pred_reg, pred_flow,
+                                  phi_j, with_nms=with_nms,
+                                  nms_min_dist=nms_min_dist)
         return new_template, out
 
     donate = (1,) if donate_template else ()

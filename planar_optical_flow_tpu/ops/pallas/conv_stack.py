@@ -1051,10 +1051,14 @@ def fused_backbone_int8_p2(cutouts, weights, layer1_weights, l: int = 56,
                            interpret: bool = False):
     """Pack-2 pm backbone: raw CUTOUT rows (NB*tile, l) f32 in
     (stream, cutout) order -> feats (NB*l4*tile, 256) int8 position-major
-    (IDENTICAL layout and bit-identical values to
-    :func:`fused_backbone_int8_pm` with ``layer1_weights``), ~1.3 ms
-    faster at serving shape (probe_r3c). ``weights`` from
-    :func:`pack2_backbone_weights`."""
+    (IDENTICAL layout to :func:`fused_backbone_int8_pm` with
+    ``layer1_weights``), ~1.3 ms faster at serving shape (probe_r3c).
+    Values are bit-identical with ``l1_mode="repack"``; with the
+    ``"mm"`` default of serve-v3, layer 1 folds ``1/in_scale`` into the
+    selection weights, which changes f32 rounding — an activation landing
+    exactly on an int8 ``rint`` boundary can quantize to the adjacent
+    bin, so parity vs the pm kernel holds to 1 LSB, not bitwise.
+    ``weights`` from :func:`pack2_backbone_weights`."""
     n_rows, c1 = cutouts.shape
     with_layer1 = layer1_weights is not None
     if l % 4:
@@ -1252,6 +1256,11 @@ def fused_head_int8_pm(feats_q, conv_weights, head_weights,
     (block, position, cutout) order -> cls/reg (NB*tile, .) in
     (block, cutout) order."""
     rows, c = feats_q.shape
+    if rows % (l4 * tile):
+        raise ValueError(
+            f"{rows} pm template rows is not a whole number of "
+            f"(l4={l4} * tile={tile}) blocks — trailing cutouts would be "
+            "silently dropped")
     nb = rows // (l4 * tile)
     grid = (nb,)
     weights = list(conv_weights) + list(head_weights)
