@@ -466,6 +466,143 @@ def _gate_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref,
         ).astype(jnp.int8).reshape(t_blocks, tile, t_p.shape[-1])
 
 
+def _gate_head_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref, *refs,
+                                     hw, alpha, ct, ct_valid, l4, tile,
+                                     s_x, s_t, s_out, compute_dtype):
+    """Per-stream gate + head in ONE program: the freshly mixed int8
+    template is consumed by the head conv plan straight out of VMEM —
+    the (S*T*l4*tile, 256) template never round-trips through HBM between
+    the gate and the head (~0.25 ms of pure bandwidth at B=128), and one
+    program launch disappears. Math is byte-identical to
+    :func:`_gate_int8_pm_stream_kernel` followed by
+    ``conv_stack._head_int8_pm_kernel`` (asserted by
+    ``tests/test_fast_gate.py``)."""
+    from planar_optical_flow_tpu.ops.pallas.conv_stack import (
+        _HEAD_PLAN, _run_plan_int8_pm,
+    )
+
+    out_ref, z_ref, sim_ref, cls_ref, reg_ref = refs[-5:]
+    ws = refs[:-5]
+    hd_ws = ws[:-4]  # 5 conv layers x (wcat, s_eff, b_eff)
+    wc, bc, wr, br = (r[:] for r in ws[-4:])
+
+    attn_d, z_new, sim = _attention_body(
+        zx_ref[0], zt_ref[0], hw=hw, alpha=alpha, ct=ct, ct_valid=ct_valid)
+    attn_q = _quantize_attn(attn_d)
+    z_ref[0] = z_new.astype(z_ref.dtype)
+    sim_ref[0] = sim.astype(sim_ref.dtype)
+
+    t_blocks = ct // tile
+    for p in range(l4):
+        t_p = t_ref[0, :, p].reshape(ct, -1)
+        x_p = x_ref[0, :, p].reshape(ct, -1)
+        mixed32 = jax.lax.dot_general(
+            attn_q, t_p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        mixed = mixed32.astype(jnp.float32) * (s_t / 127.0)
+        xf = x_p.astype(jnp.float32) * s_x
+        new_t = alpha * xf + (1.0 - alpha) * mixed
+        out_ref[0, :, p] = jnp.clip(
+            jnp.rint(new_t / s_out), -127, 127
+        ).astype(jnp.int8).reshape(t_blocks, tile, t_p.shape[-1])
+
+    dn = (((1,), (0,)), ((), ()))
+    for tb in range(t_blocks):
+        x_tb = out_ref[0, tb].reshape(l4 * tile, -1)  # fresh int8 template
+        h = _run_plan_int8_pm(x_tb, hd_ws, _HEAD_PLAN, l4, tile)
+        hc = h.astype(compute_dtype)
+        cls_ref[0, tb] = (jax.lax.dot_general(
+            hc, wc.astype(compute_dtype), dn,
+            preferred_element_type=jnp.float32) + bc).astype(cls_ref.dtype)
+        reg_ref[0, tb] = (jax.lax.dot_general(
+            hc, wr.astype(compute_dtype), dn,
+            preferred_element_type=jnp.float32) + br).astype(reg_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ct", "tile", "l4", "alpha", "window_size", "s_x", "s_t", "s_out",
+    "ct_valid", "num_classes", "interpret"))
+def gate_head_fused_int8_pm(zx, zt, x_q, t_q, hd_conv_weights,
+                            hd_head_weights, ct: int, tile: int, l4: int,
+                            alpha: float, window_size: int, s_x: float,
+                            s_t: float, s_out: float,
+                            ct_valid: int | None = None,
+                            num_classes: int = 1,
+                            interpret: bool = False):
+    """Fused per-stream gate + head on position-major int8 arrays.
+
+    Same contract as :func:`gate_fused_int8_pm` (``per_stream=True``) plus
+    the head: returns ``(new_template, new_z, sim_band, cls, reg)`` with
+    cls/reg as flat ``(S*T*tile, .)`` f32 rows in (stream, tile-block,
+    cutout) order — the exact layout of ``conv_stack.fused_head_int8_pm``.
+    ``hd_conv_weights``/``hd_head_weights``: the head weight lists from
+    ``quantize_stack_int8(concat_taps=True)`` / ``head_stack_weights``
+    (``s_out`` must equal the head's input scale, as in the int8c step).
+    """
+    n, c = x_q.shape
+    zdim = zx.shape[-1]
+    if ct % tile:
+        raise ValueError(f"ct={ct} not a multiple of tile={tile}")
+    t_blocks = ct // tile
+    if n % (t_blocks * l4 * tile):
+        raise ValueError(
+            f"{n} pm rows is not a whole number of streams "
+            f"(t_blocks={t_blocks} * l4={l4} * tile={tile})")
+    s_streams = n // (t_blocks * l4 * tile)
+    hw = window_size // 2
+    win = 2 * hw + 1
+    zx5 = zx.reshape(s_streams, ct, zdim)
+    zt5 = zt.reshape(s_streams, ct, zdim)
+    x5 = x_q.reshape(s_streams, t_blocks, l4, tile, c)
+    t5 = t_q.reshape(s_streams, t_blocks, l4, tile, c)
+    weights = list(hd_conv_weights) + list(hd_head_weights)
+    kernel = functools.partial(
+        _gate_head_int8_pm_stream_kernel, hw=hw, alpha=alpha, ct=ct,
+        ct_valid=ct_valid or ct, l4=l4, tile=tile, s_x=float(s_x),
+        s_t=float(s_t), s_out=float(s_out), compute_dtype=jnp.bfloat16,
+    )
+    zspec = pl.BlockSpec((1, ct, zdim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, t_blocks, l4, tile, c),
+                         lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    new_t, new_z, sim, cls, reg = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x5.shape, jnp.int8),
+            jax.ShapeDtypeStruct((s_streams, ct, zdim), zx.dtype),
+            jax.ShapeDtypeStruct((s_streams, ct, win), jnp.float32),
+            jax.ShapeDtypeStruct((s_streams, t_blocks, tile, num_classes),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((s_streams, t_blocks, tile, 2),
+                                 jnp.float32),
+        ),
+        grid=(s_streams,),
+        in_specs=[zspec, zspec, dspec, dspec]
+        + [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM) for w in weights],
+        out_specs=(
+            dspec,
+            zspec,
+            pl.BlockSpec((1, ct, win), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_blocks, tile, num_classes),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_blocks, tile, 2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={3: 0, 1: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(zx5, zt5, x5, t5, *weights)
+    return (new_t.reshape(n, c), new_z.reshape(s_streams * ct, zdim),
+            sim.reshape(s_streams * ct, win),
+            cls.reshape(s_streams * ct, num_classes),
+            reg.reshape(s_streams * ct, 2))
+
+
 def _gate_int8_pm_kernel(zx_ref, zt_ref, x_ref, t_ref,
                          out_ref, z_ref, sim_ref, attn_scr, *, hw, alpha,
                          ct, ct_valid, s_x, s_t, s_out):

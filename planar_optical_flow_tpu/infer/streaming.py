@@ -395,6 +395,7 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                        tile: int = 64, mesh=None, calib=None,
                        gate_per_stream: bool = True,
                        p2_l1_mode: str = "mm",
+                       fuse_gate_head: bool = False,
                        interpret: bool = False):
     """Flat-layout fused serving step (fastest path, see BASELINE.md).
 
@@ -774,6 +775,20 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                 z = zx
                 _, _, sim = fg.gate_fused_int8_pm(
                     zx, zx, feats, feats, s_t=feat_scale, **gate_kw)
+            elif fuse_gate_head and gate_per_stream:
+                # gate + head in ONE program: the head reads the fresh
+                # template out of VMEM instead of HBM (bootstrap above
+                # keeps the two-program path — its template is NOT the
+                # gate's mix output)
+                template, z, sim, cls, reg = fg.gate_head_fused_int8_pm(
+                    zx, carry["z"], feats, carry["template"],
+                    hd_q, hd_head_w, ct=p_pad, tile=pm_tile, l4=l4,
+                    ct_valid=num_pts, alpha=gate_params.alpha,
+                    window_size=gate_params.window_size,
+                    s_x=feat_scale, s_t=tmpl_scale, s_out=tmpl_scale,
+                    num_classes=num_classes, interpret=interpret,
+                )
+                return _finish(carry, scan, b, template, z, sim, cls, reg)
             else:
                 template, z, sim = fg.gate_fused_int8_pm(
                     zx, carry["z"], feats, carry["template"],

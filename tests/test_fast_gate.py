@@ -258,6 +258,45 @@ def test_serve_step_v3_int8_carry(layout):
             assert corr > 0.95, (i, k, corr)
 
 
+def test_serve_step_v3_fused_gate_head_matches_unfused():
+    """fuse_gate_head=True (gate + head in ONE program, head reads the
+    fresh template from VMEM) is bit-identical to the two-program path —
+    same mix -> requant -> head-plan math on the same int8 inputs."""
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
+
+    num_pts = 64  # pm_tile=32 -> p_pad=64, t_blocks=2 exercises the
+    # per-stream tile-block head loop
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=16,
+                         padding_val=29.99, area_mode=True,
+                         gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    cur = jnp.zeros((1, num_pts))
+    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+    rng = np.random.default_rng(1)
+    calib = rng.uniform(0.5, 20.0, (2, num_pts)).astype(np.float32)
+
+    kw = dict(calib_scans=calib, num_pts=num_pts, with_nms=False,
+              precision="int8c", layout="p2", pm_tile=32, interpret=True)
+    v3a = make_serve_step_v3(model, variables, cutout_kwargs, **kw)
+    v3b = make_serve_step_v3(model, variables, cutout_kwargs,
+                             fuse_gate_head=True, **kw)
+    carry_a = carry_b = None
+    for i in range(3):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (2, num_pts)), jnp.float32)
+        carry_a, out_a = v3a(carry_a, scan)
+        carry_b, out_b = v3b(carry_b, scan)
+        np.testing.assert_array_equal(
+            np.asarray(carry_a["template"]), np.asarray(carry_b["template"]),
+            err_msg=f"step {i} template")
+        for k in out_a:
+            np.testing.assert_array_equal(
+                np.asarray(out_a[k]), np.asarray(out_b[k]),
+                err_msg=f"step {i} {k}")
+
+
 @pytest.mark.parametrize("per_stream", [False, True])
 def test_gate_int8_pm_matches_cm(per_stream):
     """Position-major int8 gate is bit-identical to the cutout-major int8
