@@ -431,6 +431,22 @@ def _quantize_attn(attn_d):
     return jnp.clip(jnp.rint(attn_d * 127.0), -127, 127).astype(jnp.int8)
 
 
+def _mix_requant(attn_q, x_q, t_q, alpha, s_x, s_t, s_out):
+    """int8 template mix + requant on one (ct, D) slice: the alpha-blend
+    of the dequantized input features with the attention-mixed template,
+    re-quantized to the carry scale. Lives exactly once — every int8 gate
+    kernel (cutout-major, pm grid, per-stream, fused gate+head) calls
+    this, so their carries cannot drift apart."""
+    mixed32 = jax.lax.dot_general(
+        attn_q, t_q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # int8 @ int8
+    mixed = mixed32.astype(jnp.float32) * (s_t / 127.0)
+    xf = x_q.astype(jnp.float32) * s_x
+    new_t = alpha * xf + (1.0 - alpha) * mixed
+    return jnp.clip(jnp.rint(new_t / s_out), -127, 127).astype(jnp.int8)
+
+
 def _gate_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref,
                                 out_ref, z_ref, sim_ref, *, hw, alpha,
                                 ct, ct_valid, l4, tile, s_x, s_t, s_out):
@@ -454,16 +470,9 @@ def _gate_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref,
         # per-position (ct, C) template slice: T tile-row groups stacked
         t_p = t_ref[0, :, p].reshape(ct, -1)
         x_p = x_ref[0, :, p].reshape(ct, -1)
-        mixed32 = jax.lax.dot_general(
-            attn_q, t_p, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        mixed = mixed32.astype(jnp.float32) * (s_t / 127.0)
-        xf = x_p.astype(jnp.float32) * s_x
-        new_t = alpha * xf + (1.0 - alpha) * mixed
-        out_ref[0, :, p] = jnp.clip(
-            jnp.rint(new_t / s_out), -127, 127
-        ).astype(jnp.int8).reshape(t_blocks, tile, t_p.shape[-1])
+        out_ref[0, :, p] = _mix_requant(
+            attn_q, x_p, t_p, alpha, s_x, s_t, s_out
+        ).reshape(t_blocks, tile, t_p.shape[-1])
 
 
 def _gate_head_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref, *refs,
@@ -478,7 +487,7 @@ def _gate_head_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref, *refs,
     ``conv_stack._head_int8_pm_kernel`` (asserted by
     ``tests/test_fast_gate.py``)."""
     from planar_optical_flow_tpu.ops.pallas.conv_stack import (
-        _HEAD_PLAN, _run_plan_int8_pm,
+        _HEAD_PLAN, _head_cls_reg, _run_plan_int8_pm,
     )
 
     out_ref, z_ref, sim_ref, cls_ref, reg_ref = refs[-5:]
@@ -496,28 +505,16 @@ def _gate_head_int8_pm_stream_kernel(zx_ref, zt_ref, x_ref, t_ref, *refs,
     for p in range(l4):
         t_p = t_ref[0, :, p].reshape(ct, -1)
         x_p = x_ref[0, :, p].reshape(ct, -1)
-        mixed32 = jax.lax.dot_general(
-            attn_q, t_p, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        mixed = mixed32.astype(jnp.float32) * (s_t / 127.0)
-        xf = x_p.astype(jnp.float32) * s_x
-        new_t = alpha * xf + (1.0 - alpha) * mixed
-        out_ref[0, :, p] = jnp.clip(
-            jnp.rint(new_t / s_out), -127, 127
-        ).astype(jnp.int8).reshape(t_blocks, tile, t_p.shape[-1])
+        out_ref[0, :, p] = _mix_requant(
+            attn_q, x_p, t_p, alpha, s_x, s_t, s_out
+        ).reshape(t_blocks, tile, t_p.shape[-1])
 
-    dn = (((1,), (0,)), ((), ()))
     for tb in range(t_blocks):
         x_tb = out_ref[0, tb].reshape(l4 * tile, -1)  # fresh int8 template
         h = _run_plan_int8_pm(x_tb, hd_ws, _HEAD_PLAN, l4, tile)
-        hc = h.astype(compute_dtype)
-        cls_ref[0, tb] = (jax.lax.dot_general(
-            hc, wc.astype(compute_dtype), dn,
-            preferred_element_type=jnp.float32) + bc).astype(cls_ref.dtype)
-        reg_ref[0, tb] = (jax.lax.dot_general(
-            hc, wr.astype(compute_dtype), dn,
-            preferred_element_type=jnp.float32) + br).astype(reg_ref.dtype)
+        cls, reg = _head_cls_reg(h, wc, bc, wr, br, compute_dtype)
+        cls_ref[0, tb] = cls.astype(cls_ref.dtype)
+        reg_ref[0, tb] = reg.astype(reg_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -624,15 +621,9 @@ def _gate_int8_pm_kernel(zx_ref, zt_ref, x_ref, t_ref,
         sim_ref[0] = sim.astype(sim_ref.dtype)
 
     t = t_ref[:].reshape(ct, -1)  # (1,T,1,tile,C) -> (ct, C), free merge
-    mixed32 = jax.lax.dot_general(
-        attn_scr[:], t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    mixed = mixed32.astype(jnp.float32) * (s_t / 127.0)
-    x = x_ref[:].reshape(ct, -1).astype(jnp.float32) * s_x
-    new_t = alpha * x + (1.0 - alpha) * mixed
-    out_ref[:] = jnp.clip(jnp.rint(new_t / s_out), -127, 127
-                          ).astype(jnp.int8).reshape(out_ref.shape)
+    out_ref[:] = _mix_requant(
+        attn_scr[:], x_ref[:].reshape(ct, -1), t, alpha, s_x, s_t, s_out
+    ).reshape(out_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("ct", "tile", "l4", "alpha",
@@ -757,15 +748,8 @@ def _gate_int8_kernel(zx_ref, zt_ref, x_ref, t_ref,
         z_ref[:] = z_new.astype(z_ref.dtype)
         sim_ref[:] = sim.astype(sim_ref.dtype)
 
-    mixed32 = jax.lax.dot_general(
-        attn_scr[:], t_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # int8 @ int8
-    mixed = mixed32.astype(jnp.float32) * (s_t / 127.0)
-    x = x_ref[:].astype(jnp.float32) * s_x
-    new_t = alpha * x + (1.0 - alpha) * mixed
-    out_ref[:] = jnp.clip(jnp.rint(new_t / s_out), -127, 127
-                          ).astype(jnp.int8)
+    out_ref[:] = _mix_requant(attn_scr[:], x_ref[:], t_ref[:], alpha,
+                              s_x, s_t, s_out)
 
 
 @functools.partial(jax.jit, static_argnames=("ct", "alpha", "window_size",

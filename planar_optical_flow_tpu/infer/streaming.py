@@ -23,6 +23,7 @@ from planar_optical_flow_tpu.ops.geometry import (
     canonical_to_global_flow,
 )
 from planar_optical_flow_tpu.ops.nms import nms_predicted_center
+from planar_optical_flow_tpu.models.flow_drow import FlowDrow
 
 
 def _detection_epilogue(scan, pred_cls, pred_reg, flow, phi_j, *,
@@ -58,7 +59,6 @@ def _detection_epilogue(scan, pred_cls, pred_reg, flow, phi_j, *,
         out.update(det_xys=det_xys, det_cls=det_cls, det_keep=keep,
                    instance_mask=inst)
     return out
-from planar_optical_flow_tpu.models.flow_drow import FlowDrow
 
 
 def _encode_single(scan, phi, cutout_kwargs):
@@ -462,17 +462,30 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         raise ValueError(f"unknown precision {precision!r}")
     if layout not in ("flat", "pm", "cell", "p2", "p2c"):
         raise ValueError(f"unknown layout {layout!r}")
-    if layout != "p2" and precision != "int8c":
-        # the pm-family layouts only exist for the int8c kernels; a
-        # non-default layout with another precision would silently run
-        # the cutout-major path and misattribute its numbers
+    if layout not in ("flat", "p2") and precision != "int8c":
+        # the pm-family layouts only exist for the int8c kernels; an
+        # explicit pm/cell/p2c with another precision would silently run
+        # the cutout-major path and misattribute its numbers. "flat" IS
+        # the honest name of the cutout-major path (any precision), and
+        # "p2" is the signature default so it must keep working for
+        # bf16/int8 (they run the cutout-major kernels).
         raise ValueError(
             f"layout={layout!r} requires precision='int8c' "
             f"(got {precision!r}); bf16/int8 use the cutout-major "
-            "kernels (pass layout='p2', the default, or switch precision)")
+            "kernels (pass layout='flat' or the default, or switch "
+            "precision)")
     pm = precision == "int8c" and layout in ("pm", "cell", "p2", "p2c")
     p2 = precision == "int8c" and layout in ("p2", "p2c")
     cell = precision == "int8c" and layout == "cell"
+    if fuse_gate_head and not (pm and gate_per_stream and not cell):
+        # the fused gate+head program only exists for the per-stream
+        # int8c pm-family path; silently ignoring the flag would let an
+        # A/B measure two identical arms
+        raise ValueError(
+            "fuse_gate_head=True requires precision='int8c', a pm-family "
+            f"layout (not 'cell') and gate_per_stream=True (got "
+            f"precision={precision!r}, layout={layout!r}, "
+            f"gate_per_stream={gate_per_stream})")
     if pm:
         if cell:
             # one block per stream: tile == padded cutout count, so the

@@ -51,8 +51,11 @@ class _TapsConv(nn.Module):
         b, l, c = x.shape
         kernel = self.param("kernel", KAIMING_LEAKY, (k, c, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        pads = k // 2
-        xp = jnp.pad(x, ((0, 0), (pads, k - 1 - pads), (0, 0)))
+        # match flax nn.Conv's SAME padding split (low=(k-1)//2,
+        # high=k//2) so even kernel sizes stay checkpoint-interchangeable
+        # with impl="conv" instead of silently shifting by one tap
+        lo = (k - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (lo, k // 2), (0, 0)))
         xcat = jnp.concatenate(
             [xp[:, j:j + l, :] for j in range(k)], axis=-1)
         y = jnp.einsum(

@@ -255,14 +255,9 @@ def _head_kernel(x_ref, *refs, l0, compute_dtype, conv_mode):
     wc, bc, wr, br = (r[:] for r in refs[-6:-2])
     x = _run_plan(x_ref[:].astype(jnp.float32), ws, _HEAD_PLAN, l0,
                   compute_dtype, conv_mode)
-    xc = x.astype(compute_dtype)
-    dn = (((1,), (0,)), ((), ()))
-    cls_ref[:] = (jax.lax.dot_general(
-        xc, wc.astype(compute_dtype), dn,
-        preferred_element_type=jnp.float32) + bc).astype(cls_ref.dtype)
-    reg_ref[:] = (jax.lax.dot_general(
-        xc, wr.astype(compute_dtype), dn,
-        preferred_element_type=jnp.float32) + br).astype(reg_ref.dtype)
+    cls, reg = _head_cls_reg(x, wc, bc, wr, br, compute_dtype)
+    cls_ref[:] = cls.astype(cls_ref.dtype)
+    reg_ref[:] = reg.astype(reg_ref.dtype)
 
 
 def _pad_rows(n, tile):
@@ -1232,19 +1227,29 @@ def fused_backbone_int8_p2cut(scans, weights, layer1_weights, l: int = 56,
     )(col(scans), col(half_alpha), schunk, cchunk, *wlist)
 
 
+def _head_cls_reg(x, wc, bc, wr, br, compute_dtype):
+    """Final cls/reg projections on the pooled head features: lives
+    exactly once so every head kernel (float, int8 cutout-major, int8 pm,
+    fused gate+head, serve_cell) computes the same epilogue."""
+    xc = x.astype(compute_dtype)
+    dn = (((1,), (0,)), ((), ()))
+    cls = jax.lax.dot_general(
+        xc, wc.astype(compute_dtype), dn,
+        preferred_element_type=jnp.float32) + bc
+    reg = jax.lax.dot_general(
+        xc, wr.astype(compute_dtype), dn,
+        preferred_element_type=jnp.float32) + br
+    return cls, reg
+
+
 def _head_int8_pm_kernel(x_ref, *refs, l0, tile, compute_dtype):
     cls_ref, reg_ref = refs[-2], refs[-1]
     ws = refs[:-6]
     wc, bc, wr, br = (r[:] for r in refs[-6:-2])
     x = _run_plan_int8_pm(x_ref[:], ws, _HEAD_PLAN, l0, tile)
-    xc = x.astype(compute_dtype)
-    dn = (((1,), (0,)), ((), ()))
-    cls_ref[:] = (jax.lax.dot_general(
-        xc, wc.astype(compute_dtype), dn,
-        preferred_element_type=jnp.float32) + bc).astype(cls_ref.dtype)
-    reg_ref[:] = (jax.lax.dot_general(
-        xc, wr.astype(compute_dtype), dn,
-        preferred_element_type=jnp.float32) + br).astype(reg_ref.dtype)
+    cls, reg = _head_cls_reg(x, wc, bc, wr, br, compute_dtype)
+    cls_ref[:] = cls.astype(cls_ref.dtype)
+    reg_ref[:] = reg.astype(reg_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes", "l4", "tile",
@@ -1310,14 +1315,9 @@ def _head_int8_kernel(x_ref, *refs, l0, compute_dtype, conv_mode="3mm"):
     ws = refs[:-6]
     wc, bc, wr, br = (r[:] for r in refs[-6:-2])
     x = _run_plan_int8(x_ref[:], ws, _HEAD_PLAN, l0, conv_mode=conv_mode)
-    xc = x.astype(compute_dtype)
-    dn = (((1,), (0,)), ((), ()))
-    cls_ref[:] = (jax.lax.dot_general(
-        xc, wc.astype(compute_dtype), dn,
-        preferred_element_type=jnp.float32) + bc).astype(cls_ref.dtype)
-    reg_ref[:] = (jax.lax.dot_general(
-        xc, wr.astype(compute_dtype), dn,
-        preferred_element_type=jnp.float32) + br).astype(reg_ref.dtype)
+    cls, reg = _head_cls_reg(x, wc, bc, wr, br, compute_dtype)
+    cls_ref[:] = cls.astype(cls_ref.dtype)
+    reg_ref[:] = reg.astype(reg_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("l", "tile", "out_dtype",

@@ -33,6 +33,7 @@ from planar_optical_flow_tpu.ops.pallas.conv_stack import (
     _BACKBONE_PLAN,
     _HEAD_PLAN,
     _LEAKY_SLOPE,
+    _head_cls_reg,
     _layer1_pm,
     _run_plan_int8_pm,
     _embed_acc_pm,
@@ -129,14 +130,9 @@ def _cell_kernel(cut_ref, zt_ref, t_ref, *refs, l, ct, l4, hw, alpha,
 
     # head on the fresh template
     hx = _run_plan_int8_pm(new_t, hd_ws, _HEAD_PLAN, l4, ct)  # (ct, 128)
-    hb = hx.astype(jnp.bfloat16)
-    dn = (((1,), (0,)), ((), ()))
-    cls_ref[:] = (jax.lax.dot_general(
-        hb, wc[:].astype(jnp.bfloat16), dn,
-        preferred_element_type=jnp.float32) + bc[:]).astype(cls_ref.dtype)
-    reg_ref[:] = (jax.lax.dot_general(
-        hb, wr[:].astype(jnp.bfloat16), dn,
-        preferred_element_type=jnp.float32) + br[:]).astype(reg_ref.dtype)
+    cls, reg = _head_cls_reg(hx, wc, bc, wr, br, jnp.bfloat16)
+    cls_ref[:] = cls.astype(cls_ref.dtype)
+    reg_ref[:] = reg.astype(reg_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(

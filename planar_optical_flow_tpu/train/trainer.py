@@ -80,15 +80,17 @@ class Trainer:
         self._compute_dtype = (
             jnp.dtype(cd) if cd not in (None, "float32", "f32") else None
         )
-        if cfg.get("conv_impl"):
-            # "taps" = tap-concat matmul convs (same params; see
-            # models.blocks.set_default_conv_impl). Process-wide default,
-            # resolved when the step traces.
-            from planar_optical_flow_tpu.models.blocks import (
-                set_default_conv_impl,
-            )
+        # "taps" = tap-concat matmul convs (same params; see
+        # models.blocks.set_default_conv_impl). Process-wide default,
+        # resolved when the step traces — ALWAYS set it, so a previous
+        # Trainer's non-default choice cannot leak into a config that
+        # didn't ask for one (sweeps construct several Trainers per
+        # process).
+        from planar_optical_flow_tpu.models.blocks import (
+            set_default_conv_impl,
+        )
 
-            set_default_conv_impl(cfg["conv_impl"])
+        set_default_conv_impl(cfg.get("conv_impl") or "conv")
         self._rng = jax.random.PRNGKey(seed)
 
         self._sigterm = False

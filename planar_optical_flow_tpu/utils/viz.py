@@ -162,7 +162,8 @@ def render_detection_video(scans, results, path: str, fps: int = 10,
                     color = "blue" if k == 0 else cmap((int(k) - 1) % 10)
                     plot_flow_arrows(ax, np.asarray(scans[i])[sel],
                                      np.asarray(r["flow"])[sel],
-                                     phi=get_laser_phi(len(scans[i]))[sel],
+                                     phi=get_laser_phi(
+                                         num_pts=len(scans[i]))[sel],
                                      color=color)
             else:
                 plot_flow_arrows(ax, scans[i], r["flow"])

@@ -151,18 +151,35 @@ def test_viz_smoke(tmp_path, rng):
     viz.color_wheel(ax, resolution=32)
     plt.close(fig)
 
-    # instance-colored joint person-flow rendering (plot_person_flow)
+    # instance-colored joint person-flow rendering (plot_person_flow);
+    # capture the per-instance arrow calls to pin the beam angles (a
+    # get_laser_phi positional misuse once fed ~1e5-radian "angles")
     inst = np.zeros(450, np.int32)
     inst[100:120] = 1
     inst[200:230] = 2
+    seen_phis = []
+    orig_arrows = viz.plot_flow_arrows
+
+    def capture(ax, s, f, phi=None, **kw):
+        if phi is not None:
+            seen_phis.append(np.asarray(phi))
+        return orig_arrows(ax, s, f, phi=phi, **kw)
+
     out2 = str(tmp_path / "pf.mp4")
-    viz.render_detection_video(
-        np.stack([scan, scan]),
-        [{"dets": np.array([[1.0, 2.0]]), "conf": np.array([0.9]),
-          "flow": flow, "instance_mask": inst}] * 2,
-        out2, fps=2,
-    )
+    viz.plot_flow_arrows, _restore = capture, viz.plot_flow_arrows
+    try:
+        viz.render_detection_video(
+            np.stack([scan, scan]),
+            [{"dets": np.array([[1.0, 2.0]]), "conf": np.array([0.9]),
+              "flow": flow, "instance_mask": inst}] * 2,
+            out2, fps=2,
+        )
+    finally:
+        viz.plot_flow_arrows = _restore
     assert os.path.exists(out2) or os.path.isdir(os.path.splitext(out2)[0])
+    assert seen_phis and all(
+        np.all(np.abs(p) < np.pi) for p in seen_phis
+    ), "instance arrows drawn with out-of-FOV beam angles"
 
 
 def test_pedestrian_only_dynamic_mask_sees_all_classes(tmp_path):

@@ -258,6 +258,42 @@ def test_serve_step_v3_int8_carry(layout):
             assert corr > 0.95, (i, k, corr)
 
 
+def test_serve_step_v3_config_guards():
+    """layout='flat' is valid for every precision (it IS the cutout-major
+    path); explicit pm-family layouts require int8c; fuse_gate_head on an
+    ineligible config raises instead of silently building the unfused
+    step (an A/B would otherwise measure two identical arms)."""
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
+
+    num_pts = 64
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=16,
+                         padding_val=29.99, area_mode=True,
+                         gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    cur = jnp.zeros((1, num_pts))
+    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+
+    # the honest spelling of the bf16 path builds fine
+    make_serve_step_v3(model, variables, cutout_kwargs, num_pts=num_pts,
+                       precision="bf16", layout="flat", interpret=True)
+    with pytest.raises(ValueError, match="requires precision='int8c'"):
+        make_serve_step_v3(model, variables, cutout_kwargs, num_pts=num_pts,
+                           precision="bf16", layout="pm", interpret=True)
+    with pytest.raises(ValueError, match="fuse_gate_head"):
+        make_serve_step_v3(model, variables, cutout_kwargs, num_pts=num_pts,
+                           precision="bf16", fuse_gate_head=True,
+                           interpret=True)
+    with pytest.raises(ValueError, match="fuse_gate_head"):
+        make_serve_step_v3(model, variables, cutout_kwargs,
+                           calib_scans=np.zeros((2, num_pts), np.float32),
+                           num_pts=num_pts, precision="int8c",
+                           gate_per_stream=False, fuse_gate_head=True,
+                           interpret=True)
+
+
 def test_serve_step_v3_fused_gate_head_matches_unfused():
     """fuse_gate_head=True (gate + head in ONE program, head reads the
     fresh template from VMEM) is bit-identical to the two-program path —
