@@ -1,5 +1,5 @@
-"""A/B the DR-SPAAM detection train step with lax convs vs tap-concat
-matmul convs (models.blocks impl="taps"; identical params/math).
+"""A/B the DR-SPAAM detection train step with lax convs vs matmul-form
+convs (models.blocks impl="taps"; identical params/math).
 
 Motivation: the 58 ms bf16 step spends 23.1 ms in convs at ~45% of the
 bf16 MXU bound (STATUS.md round-3 trace); the serving kernels showed the
@@ -36,7 +36,7 @@ batch = {
 }
 task = tasks.DetectionTask(cutout_kwargs=CUT, pedestrian_only=True)
 
-for impl in ("taps", "conv"):
+for impl in ("mm3", "conv"):
     set_default_conv_impl(impl)
     model = get_model({"type": "dr-spaam", "window_size": 11,
                        "pedestrian_only": True, "remat": True})

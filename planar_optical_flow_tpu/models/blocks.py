@@ -28,12 +28,17 @@ KAIMING_LEAKY = nn.initializers.variance_scaling(
 #            tree as nn.Conv, so checkpoints are interchangeable. The
 #            serving kernels proved this form beats the conv lowering for
 #            the skinny K<=768 DR-SPAAM shapes; `conv_impl: taps` in the
-#            Trainer config A/Bs it for training.
+#            Trainer config A/Bs it for training (measured NEGATIVE on
+#            the full train step: the (B, L, 3C) concat materializes fwd
+#            and bwd — see STATUS.md / probe_train_conv.py),
+#   "mm3" — per-tap matmuls: y = shift(x,-1) @ W0 + x @ W1 + shift(x,1)
+#            @ W2 + b. No concat ever materializes; the backward is per-
+#            tap matmul transposes + counter-shifts. Same param tree.
 _DEFAULT_CONV_IMPL = ["conv"]
 
 
 def set_default_conv_impl(impl: str):
-    if impl not in ("conv", "taps"):
+    if impl not in ("conv", "taps", "mm3"):
         raise ValueError(f"unknown conv impl {impl!r}")
     _DEFAULT_CONV_IMPL[0] = impl
 
@@ -66,11 +71,44 @@ class _TapsConv(nn.Module):
         return y + bias
 
 
+class _Mm3Conv(nn.Module):
+    """kernel-k, stride-1 SAME conv as k per-tap matmuls on shifted
+    views. Param names and shapes match ``nn.Conv``. Unlike
+    :class:`_TapsConv` nothing (B, L, kC)-sized ever materializes — each
+    tap is a zero-padded shift (pad+slice, no gather) followed by a
+    (B*L, C) x (C, F) dot; autodiff gives per-tap matmul transposes and
+    counter-shifts."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        b, l, c = x.shape
+        kernel = self.param("kernel", KAIMING_LEAKY, (k, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        lo = (k - 1) // 2  # nn.Conv SAME padding split
+        y = None
+        for j in range(k):
+            o = j - lo  # tap j reads x[l + o]
+            if o == 0:
+                xj = x
+            elif o > 0:
+                xj = jnp.pad(x[:, o:, :], ((0, 0), (0, o), (0, 0)))
+            else:
+                xj = jnp.pad(x[:, :o, :], ((0, 0), (-o, 0), (0, 0)))
+            t = jnp.einsum("blc,cf->blf", xj, kernel[j],
+                           preferred_element_type=jnp.float32)
+            y = t if y is None else y + t
+        return y.astype(x.dtype) + bias
+
+
 class ConvBlock(nn.Module):
     """Conv1D + BatchNorm + LeakyReLU.
 
     ``impl``: None resolves to the process default (see
-    :func:`set_default_conv_impl`); "taps" applies only to kernel>1
+    :func:`set_default_conv_impl`); "taps"/"mm3" apply only to kernel>1
     stride-1 blocks (others always use the lax convolution)."""
 
     features: int
@@ -86,6 +124,9 @@ class ConvBlock(nn.Module):
         if impl == "taps" and self.kernel_size > 1 and self.stride == 1:
             x = _TapsConv(self.features, self.kernel_size,
                           name="Conv_0")(x)
+        elif impl == "mm3" and self.kernel_size > 1 and self.stride == 1:
+            x = _Mm3Conv(self.features, self.kernel_size,
+                         name="Conv_0")(x)
         else:
             x = nn.Conv(
                 self.features,

@@ -180,10 +180,15 @@ def test_banded_gate_full_model_parity(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_taps_conv_matches_lax_conv():
-    """ConvBlock impl="taps" (tap-concat matmul) is numerically the lax
-    convolution with the SAME param tree: init under one impl, apply
-    under the other, forward and grads agree."""
+import pytest
+
+
+@pytest.mark.parametrize("alt_impl", ["taps", "mm3"])
+def test_taps_conv_matches_lax_conv(alt_impl):
+    """ConvBlock impl="taps" (tap-concat matmul) / "mm3" (per-tap shifted
+    matmuls) are numerically the lax convolution with the SAME param
+    tree: init under one impl, apply under the other, forward and grads
+    agree."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -192,7 +197,7 @@ def test_taps_conv_matches_lax_conv():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(4, 56, 16)), jnp.float32)
     conv = ConvBlock(32, 3, impl="conv")
-    taps = ConvBlock(32, 3, impl="taps")
+    taps = ConvBlock(32, 3, impl=alt_impl)
     variables = conv.init(jax.random.PRNGKey(0), x, train=False)
     assert (jax.tree_util.tree_structure(variables)
             == jax.tree_util.tree_structure(
@@ -218,8 +223,8 @@ def test_taps_conv_matches_lax_conv():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
 
-    # stride/1x1 blocks fall back to the lax conv under impl="taps"
-    strided = ConvBlock(32, 3, stride=2, impl="taps")
+    # stride/1x1 blocks fall back to the lax conv under the alt impls
+    strided = ConvBlock(32, 3, stride=2, impl=alt_impl)
     v2 = strided.init(jax.random.PRNGKey(1), x, train=False)
     ref = ConvBlock(32, 3, stride=2, impl="conv")
     np.testing.assert_allclose(
