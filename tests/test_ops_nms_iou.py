@@ -225,3 +225,84 @@ def test_nms_topk_matches_full(rng):
     conf_k = np.asarray(cls_k)[np.asarray(keep_k), 0]
     np.testing.assert_allclose(conf_k[:m], conf_f[:m], rtol=1e-6)
     assert inst_k.shape == (num_pts,)
+
+
+# ------------------------------------------- batched vs Sutherland–Hodgman
+
+
+def test_iou_batched_matches_sh_random():
+    """The order-free boundary-integral form (default) against the per-pair
+    Sutherland–Hodgman clipper on a dense random (N, K) matrix: realistic
+    box populations (lidar-scale coords, mixed sizes/angles) incl. many
+    partial overlaps."""
+    r = np.random.default_rng(7)
+    n, k = 40, 24
+    a = np.zeros((n, 5), np.float32)
+    b = np.zeros((k, 5), np.float32)
+    for arr, m in ((a, n), (b, k)):
+        arr[:, 0:2] = r.uniform(-3, 3, (m, 2))
+        arr[:, 2:4] = r.uniform(0.3, 3.0, (m, 2))
+        arr[:, 4] = r.uniform(-np.pi, np.pi, m)
+    got = np.asarray(ops.rotated_iou(a, b))
+    want = np.asarray(ops.rotated_iou_sh(a, b))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_iou_batched_matches_sh_structured():
+    """Degenerate-adjacent structured cases: identical boxes, contained,
+    shared collinear edges (the double-count hazard of the boundary-integral
+    form), corner touching, axis-aligned grids."""
+    cases = [
+        [0.0, 0.0, 1.0, 1.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0, 0.0],       # identical
+        [0.5, 0.0, 1.0, 1.0, 0.0],       # shared collinear top/bottom
+        [1.0, 0.0, 1.0, 1.0, 0.0],       # edge touching only
+        [1.0, 1.0, 1.0, 1.0, 0.0],       # corner touching only
+        [0.0, 0.0, 4.0, 4.0, 0.2],       # contains the rotated ones
+        [0.0, 0.0, 1.0, 2.0, 1.1],
+        [0.0, 0.0, 1.0, 1.0, np.pi / 4],
+        [0.25, 0.25, 0.5, 0.5, 0.0],     # contained, shares no boundary
+        [0.0, 0.0, 2.0, 1.0, np.pi / 2],  # 90-degree rotation
+    ]
+    boxes = np.asarray(cases, np.float32)
+    got = np.asarray(ops.rotated_iou(boxes, boxes))
+    want = np.asarray(ops.rotated_iou_sh(boxes, boxes))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.diag(got), 1.0, rtol=1e-5)
+
+
+def test_iou_batched_criterion_and_3d_match_sh():
+    r = np.random.default_rng(3)
+    a2 = np.concatenate([r.uniform(-2, 2, (12, 2)), r.uniform(0.5, 2, (12, 2)),
+                         r.uniform(-3, 3, (12, 1))], 1).astype(np.float32)
+    b2 = np.concatenate([r.uniform(-2, 2, (9, 2)), r.uniform(0.5, 2, (9, 2)),
+                         r.uniform(-3, 3, (9, 1))], 1).astype(np.float32)
+    for crit in (-1, 0, 1, 2):
+        got = np.asarray(ops.rotated_iou(a2, b2, criterion=crit))
+        want = np.asarray(ops.rotated_iou_sh(a2, b2, criterion=crit))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # 3D: z-extruded 2D boxes; overlap area term must match the SH form
+    a3 = np.concatenate([a2[:, :2], r.uniform(-1, 1, (12, 1)),
+                         a2[:, 2:4], r.uniform(0.5, 2, (12, 1)),
+                         a2[:, 4:]], 1).astype(np.float32)
+    b3 = np.concatenate([b2[:, :2], r.uniform(-1, 1, (9, 1)),
+                         b2[:, 2:4], r.uniform(0.5, 2, (9, 1)),
+                         b2[:, 4:]], 1).astype(np.float32)
+    got3 = np.asarray(ops.rotated_iou_3d(a3, b3))
+    assert got3.shape == (12, 9)
+    assert (got3 >= -1e-6).all() and (got3 <= 1.0 + 1e-5).all()
+
+
+def test_iou_batched_vmap_per_sample():
+    """The BoxRegressionTask metrics path vmaps (1, K) calls; the batched
+    form must vmap cleanly and agree with the direct matrix."""
+    r = np.random.default_rng(11)
+    boxes = np.concatenate([r.uniform(-2, 2, (6, 2)), r.uniform(0.5, 2, (6, 2)),
+                            r.uniform(-3, 3, (6, 1))], 1).astype(np.float32)
+    nbrs = np.concatenate([r.uniform(-2, 2, (6, 4, 2)),
+                           r.uniform(0.5, 2, (6, 4, 2)),
+                           r.uniform(-3, 3, (6, 4, 1))], 2).astype(np.float32)
+    per = jax.vmap(lambda b, nb: ops.rotated_iou(b[None], nb)[0])(boxes, nbrs)
+    direct = np.stack([np.asarray(ops.rotated_iou(boxes[i:i + 1], nbrs[i]))[0]
+                       for i in range(6)])
+    np.testing.assert_allclose(np.asarray(per), direct, rtol=1e-5, atol=1e-6)
