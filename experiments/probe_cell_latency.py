@@ -7,6 +7,13 @@ dominated by fixed costs and inter-program idle (~0.5 ms of the 0.87 ms
 p50), which ONE program per step would amortize — this probe checks whether
 the cell wins the latency end of the curve.
 
+RESULT (v5e, chained timing): NEGATIVE there too — B=1: p2 0.92 ms vs
+cell 2.90 ms; B=16: p2 2.49 vs cell 3.42. At B=1 the cell is a single
+grid step: zero pipelining of weight DMAs against compute, and the
+serialized VPU-attention/MXU-head issue inside one body costs ~3x more
+than the inter-program idle it removes. The three-program p2 pipeline
+stays the flagship at every batch size.
+
 Run: PYTHONPATH=/root/.axon_site:/root/repo python
 experiments/probe_cell_latency.py
 """
@@ -31,7 +38,7 @@ cur = jnp.zeros((1, NUM_PTS))
 variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
 rng = np.random.default_rng(0)
 
-for batch in (1, 4, 16, 64):
+for batch in (1, 16):
     scan = jnp.asarray(rng.uniform(0.5, 25.0, (batch, NUM_PTS)), jnp.float32)
     for layout in ("p2", "cell"):
         kw = {} if layout == "cell" else {"tile": 128}

@@ -33,9 +33,7 @@ def mean_box_baseline(dataset, is_3d: bool | None = None) -> dict:
                 np.full(len(targets), 0.5 * np.pi),
             ]
         )
-        iou = np.asarray(
-            ops.rotated_iou_3d(preds, targets)
-        ).diagonal()
+        iou = np.asarray(ops.rotated_iou_3d_paired(preds, targets))
         dim_err = np.abs(preds[:, 3:6] - targets[:, 3:6]).sum(axis=1)
         ori_err = np.abs(preds[:, 6] - targets[:, 6])
     else:
@@ -47,7 +45,7 @@ def mean_box_baseline(dataset, is_3d: bool | None = None) -> dict:
                 np.full(len(targets), 0.5 * np.pi),
             ]
         )
-        iou = np.asarray(ops.rotated_iou(preds, targets)).diagonal()
+        iou = np.asarray(ops.rotated_iou_paired(preds, targets))
         dim_err = np.abs(preds[:, 2:4] - targets[:, 2:4]).sum(axis=1)
         ori_err = np.abs(preds[:, 4] - targets[:, 4])
 

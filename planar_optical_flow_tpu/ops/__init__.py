@@ -30,6 +30,8 @@ from planar_optical_flow_tpu.ops.nms import nms_predicted_center  # noqa: F401
 from planar_optical_flow_tpu.ops.rotated_iou import (  # noqa: F401
     rotated_iou,
     rotated_iou_3d,
+    rotated_iou_paired,
+    rotated_iou_3d_paired,
     rotated_iou_sh,
     aabb_iou,
 )

@@ -177,13 +177,32 @@ def rotated_iou(boxes, query_boxes, criterion: int = -1):
     return _iou_from_areas(inter, p1[2] * p1[3], p2[2] * p2[3], criterion)
 
 
+def rotated_iou_paired(boxes, others, criterion: int = -1):
+    """Elementwise rotated IoU of aligned ``(..., 5)`` box arrays (the 1:1
+    prediction-vs-target case, e.g. the mean-box baseline) — same math as
+    :func:`rotated_iou` without materializing the (N, N) matrix."""
+    boxes = jnp.asarray(boxes, dtype=jnp.float32)
+    others = jnp.asarray(others, dtype=jnp.float32)
+    p1, p2 = _split2d(boxes), _split2d(others)
+    inter = _intersection_area_batched(p1, p2)
+    return _iou_from_areas(inter, p1[2] * p1[3], p2[2] * p2[3], criterion)
+
+
 def rotated_iou_3d(boxes, query_boxes, criterion: int = -1):
     """Pairwise 3D rotated IoU of ``boxes (N, 7)`` vs ``query_boxes (K, 7)``,
     format ``[cx, cy, cz, l, w, h, rot_z]`` (z-aligned boxes)."""
     boxes = jnp.asarray(boxes, dtype=jnp.float32)
     query_boxes = jnp.asarray(query_boxes, dtype=jnp.float32)
-    b1 = boxes[:, None, :]
-    b2 = query_boxes[None, :, :]
+    return _iou_3d_core(boxes[:, None, :], query_boxes[None, :, :], criterion)
+
+
+def rotated_iou_3d_paired(boxes, others, criterion: int = -1):
+    """Elementwise 3D rotated IoU of aligned ``(..., 7)`` box arrays."""
+    return _iou_3d_core(jnp.asarray(boxes, dtype=jnp.float32),
+                        jnp.asarray(others, dtype=jnp.float32), criterion)
+
+
+def _iou_3d_core(b1, b2, criterion):
     p1 = (b1[..., 0], b1[..., 1], b1[..., 3], b1[..., 4], b1[..., 6])
     p2 = (b2[..., 0], b2[..., 1], b2[..., 3], b2[..., 4], b2[..., 6])
     area_inter = _intersection_area_batched(p1, p2)

@@ -306,3 +306,24 @@ def test_iou_batched_vmap_per_sample():
     direct = np.stack([np.asarray(ops.rotated_iou(boxes[i:i + 1], nbrs[i]))[0]
                        for i in range(6)])
     np.testing.assert_allclose(np.asarray(per), direct, rtol=1e-5, atol=1e-6)
+
+
+def test_iou_paired_matches_matrix_diagonal():
+    r = np.random.default_rng(5)
+    a = np.concatenate([r.uniform(-2, 2, (20, 2)), r.uniform(0.5, 2, (20, 2)),
+                        r.uniform(-3, 3, (20, 1))], 1).astype(np.float32)
+    b = np.concatenate([r.uniform(-2, 2, (20, 2)), r.uniform(0.5, 2, (20, 2)),
+                        r.uniform(-3, 3, (20, 1))], 1).astype(np.float32)
+    got = np.asarray(ops.rotated_iou_paired(a, b))
+    want = np.diag(np.asarray(ops.rotated_iou(a, b)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    def to3d(b2d, rr):  # [cx,cy,l,w,ang] -> [cx,cy,cz,l,w,h,rot_z]
+        return np.column_stack([
+            b2d[:, 0], b2d[:, 1], rr.uniform(-1, 1, len(b2d)),
+            b2d[:, 2], b2d[:, 3], rr.uniform(0.5, 2, len(b2d)),
+            b2d[:, 4]]).astype(np.float32)
+
+    a3, b3 = to3d(a, r), to3d(b, r)
+    got3 = np.asarray(ops.rotated_iou_3d_paired(a3, b3))
+    want3 = np.diag(np.asarray(ops.rotated_iou_3d(a3, b3)))
+    np.testing.assert_allclose(got3, want3, rtol=1e-5, atol=1e-7)
