@@ -128,11 +128,20 @@ class ConvBlock(nn.Module):
             x = _Mm3Conv(self.features, self.kernel_size,
                          name="Conv_0")(x)
         else:
+            # Explicit torch-style padding (lo, hi) = ((k-1)//2, k//2): for
+            # stride 1 this is exactly flax "SAME"; for stride 2 on an EVEN
+            # length flax "SAME" pads (0, 1) while torch's padding=1 pads
+            # (1, 1) — a one-beam alignment shift. The reference models use
+            # torch padding=1 (e.g. ``prototype.py:40-42`` stride-2
+            # encoders), so the explicit split keeps stride-2 outputs
+            # numerically identical to the reference
+            # (tests/test_reference_parity.py::test_flow_unet_matches_prototype).
+            k = self.kernel_size
             x = nn.Conv(
                 self.features,
-                kernel_size=(self.kernel_size,),
+                kernel_size=(k,),
                 strides=(self.stride,),
-                padding="SAME" if self.kernel_size > 1 else "VALID",
+                padding=[((k - 1) // 2, k // 2)] if k > 1 else "VALID",
                 kernel_init=KAIMING_LEAKY,
             )(x)
         if self.use_bn:
