@@ -92,7 +92,8 @@ def load_reference(module: str):
 
 
 # --------------------------------------------------------------------------
-# torch -> flax parameter mapping helpers
+# helpers shared by the parity tests (the torch->flax weight mapping
+# itself lives in planar_optical_flow_tpu/interop/torch_ckpt.py)
 # --------------------------------------------------------------------------
 
 
@@ -100,60 +101,6 @@ def t2n(t):
     import numpy as np
 
     return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
-
-
-def conv1d_to_flax(conv):
-    """torch ``nn.Conv1d`` weight ``(out, in, k)`` -> flax ``nn.Conv``
-    kernel ``(k, in, out)``."""
-    return {"kernel": t2n(conv.weight).transpose(2, 1, 0),
-            "bias": t2n(conv.bias)}
-
-
-def conv1d_to_dense(conv):
-    """torch pointwise ``nn.Conv1d(k=1)`` (or a full-width conv applied to
-    a flattened feature) -> flax ``nn.Dense`` kernel ``(in, out)``."""
-    w = t2n(conv.weight)  # (out, in, k)
-    out_c, in_c, k = w.shape
-    return {"kernel": w.reshape(out_c, in_c * k).T, "bias": t2n(conv.bias)}
-
-
-def linear_to_dense(lin):
-    return {"kernel": t2n(lin.weight).T, "bias": t2n(lin.bias)}
-
-
-def bn_to_flax(bn):
-    """torch ``nn.BatchNorm1d`` -> (params, batch_stats) leaf dicts."""
-    return (
-        {"scale": t2n(bn.weight), "bias": t2n(bn.bias)},
-        {"mean": t2n(bn.running_mean), "var": t2n(bn.running_var)},
-    )
-
-
-def conv_block_from_seq(seq):
-    """Reference ``nn.Sequential(Conv1d, BatchNorm1d, LeakyReLU)`` ->
-    this repo's ``ConvBlock`` {params, batch_stats} subtrees."""
-    bn_p, bn_s = bn_to_flax(seq[1])
-    return (
-        {"Conv_0": conv1d_to_flax(seq[0]), "BatchNorm_0": bn_p},
-        {"BatchNorm_0": bn_s},
-    )
-
-
-def dense_block_from_fc(seq, has_bn=True):
-    """Reference ``_fc`` / ``_conv1x1`` sequential -> ``DenseBlock``
-    subtrees. ``seq[0]`` may be Linear or pointwise Conv1d."""
-    import torch.nn as tnn
-
-    first = seq[0] if isinstance(seq, tnn.Sequential) else seq
-    dense = (linear_to_dense(first) if isinstance(first, tnn.Linear)
-             else conv1d_to_dense(first))
-    if not has_bn:
-        return {"Dense_0": dense}, {}
-    bn_p, bn_s = bn_to_flax(seq[1])
-    return (
-        {"Dense_0": dense, "BatchNorm_0": bn_p},
-        {"BatchNorm_0": bn_s},
-    )
 
 
 def randomize_bn_stats(model, seed=0):
@@ -170,27 +117,3 @@ def randomize_bn_stats(model, seed=0):
                 m.running_var.copy_(
                     0.5 + torch.rand(m.running_var.shape, generator=g))
     return model
-
-
-def merge_tree(base, path, leaf):
-    """Set ``base[path[0]][path[1]]...`` = ``leaf`` (a possibly nested dict
-    of arrays), asserting every array being replaced exists with an
-    identical shape (catches mapping bugs)."""
-    node = base
-    for key in path[:-1]:
-        node = node[key]
-    old = node[path[-1]]
-
-    def check(old_node, new_node, where):
-        assert sorted(old_node) == sorted(new_node), (
-            where, sorted(old_node), sorted(new_node))
-        for name, value in new_node.items():
-            if isinstance(value, dict):
-                check(old_node[name], value, where + (name,))
-            else:
-                assert old_node[name].shape == value.shape, (
-                    where, name, old_node[name].shape, value.shape)
-
-    check(old, leaf, path)
-    node[path[-1]] = leaf
-    return base

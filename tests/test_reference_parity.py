@@ -20,11 +20,7 @@ import pytest
 from tests.reference_loader import (
     reference_available,
     load_reference,
-    conv_block_from_seq,
-    conv1d_to_dense,
-    dense_block_from_fc,
     randomize_bn_stats,
-    merge_tree,
     t2n,
 )
 
@@ -322,46 +318,15 @@ def _init_vars(model, *args, **kwargs):
     return flax.core.unfreeze(jax.tree_util.tree_map(np.asarray, variables))
 
 
-def _fill_conv_stack(params, stats, base_path, torch_blocks):
-    """Map a reference nn.Sequential of _conv3x3 sub-Sequentials onto a
-    ConvStack (``ConvBlock_i`` children)."""
-    for i, seq in enumerate(torch_blocks):
-        p, s = conv_block_from_seq(seq)
-        merge_tree(params, base_path + (f"ConvBlock_{i}", "Conv_0"),
-                   p["Conv_0"])
-        merge_tree(params, base_path + (f"ConvBlock_{i}", "BatchNorm_0"),
-                   p["BatchNorm_0"])
-        merge_tree(stats, base_path + (f"ConvBlock_{i}", "BatchNorm_0"),
-                   s["BatchNorm_0"])
-
-
 def _map_drow_params(ref_model, variables):
-    """Fill a Drow/SpatialDrow variable tree from a reference (Spatial)DROW."""
-    params = variables["params"]
-    stats = variables["batch_stats"]
+    """Fill a Drow/SpatialDrow variable tree from a reference (Spatial)DROW
+    through the PRODUCT importer (``interop.torch_ckpt``) — every model
+    parity test below therefore also validates the checkpoint-migration
+    path end to end."""
+    from planar_optical_flow_tpu.interop import import_state_dict
 
-    _fill_conv_stack(params, stats, ("backbone", "block1"),
-                     list(ref_model.conv_block_1))
-    _fill_conv_stack(params, stats, ("backbone", "block2"),
-                     list(ref_model.conv_block_2))
-    _fill_conv_stack(params, stats, ("head", "block3"),
-                     list(ref_model.conv_block_3))
-    _fill_conv_stack(params, stats, ("head", "block4"),
-                     list(ref_model.conv_block_4))
-    merge_tree(params, ("head", "cls"), conv1d_to_dense(ref_model.conv_cls))
-    merge_tree(params, ("head", "reg"), conv1d_to_dense(ref_model.conv_reg))
-
-    if hasattr(ref_model, "gate"):
-        # full-width conv (128, 256, n_pts) == dense over the flat (L*C)
-        # feature in (l, c) row order
-        p, s = conv_block_from_seq(list(ref_model.gate.conv))
-        w = p["Conv_0"]["kernel"]  # (n_pts, 256, 128)
-        merge_tree(params, ("gate", "embed"),
-                   {"kernel": w.reshape(-1, w.shape[-1]),
-                    "bias": p["Conv_0"]["bias"]})
-        merge_tree(params, ("gate", "embed_bn"), p["BatchNorm_0"])
-        merge_tree(stats, ("gate", "embed_bn"), s["BatchNorm_0"])
-    return variables
+    mtype = "dr-spaam" if hasattr(ref_model, "gate") else "drow"
+    return import_state_dict(variables, ref_model.state_dict(), mtype)
 
 
 def test_drow_matches_reference(rng):
@@ -458,15 +423,9 @@ def test_spatial_drow_streaming_matches_reference_testing_branch(rng):
 
 
 def _map_flow_unet_params(ref_model, variables):
-    params = variables["params"]
-    stats = variables["batch_stats"]
-    for name in ("encoder_0", "encoder_1", "encoder_2",
-                 "decoder_1", "decoder_0", "flow_reg"):
-        seq = getattr(ref_model, name)
-        p, s = conv_block_from_seq(list(seq))
-        merge_tree(params, (name,), p)
-        merge_tree(stats, (name,), s)
-    return variables
+    from planar_optical_flow_tpu.interop import import_state_dict
+
+    return import_state_dict(variables, ref_model.state_dict(), "flow_unet")
 
 
 def test_flow_unet_matches_prototype(rng):
@@ -497,21 +456,9 @@ def test_flow_unet_matches_prototype(rng):
 
 
 def _map_bbox_params(ref_model, variables):
-    params = variables["params"]
-    stats = variables["batch_stats"]
-    convs = [ref_model.backbone.conv1, ref_model.backbone.conv2,
-             ref_model.backbone.conv3, ref_model.backbone.conv4]
-    for i, seq in enumerate(convs):
-        p, s = dense_block_from_fc(seq)
-        merge_tree(params, ("backbone", f"DenseBlock_{i}"), p)
-        merge_tree(stats, ("backbone", f"DenseBlock_{i}"), s)
-    for name in ("fc1", "fc2"):
-        p, s = dense_block_from_fc(getattr(ref_model, name))
-        merge_tree(params, (name,), p)
-        merge_tree(stats, (name,), s)
-    p, _ = dense_block_from_fc(ref_model.fc3, has_bn=False)
-    merge_tree(params, ("fc3",), p)
-    return variables
+    from planar_optical_flow_tpu.interop import import_state_dict
+
+    return import_state_dict(variables, ref_model.state_dict(), "box_reg")
 
 
 def test_box_regressor_matches_reference(rng):
@@ -536,3 +483,139 @@ def test_box_regressor_matches_reference(rng):
     got = _apply_eval(model, variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), t2n(want),
                                rtol=1e-3, atol=1e-3)
+
+
+# ==========================================================================
+# checkpoint migration: reference .pth -> orbax, through the product CLI
+# ==========================================================================
+
+
+def test_import_checkpoint_cli_end_to_end(rng, tmp_path):
+    """Full migration path: a reference-format ``.pth`` (envelope per
+    ``train_utils.py:8-22``) -> ``bin/import_checkpoint.py`` -> orbax ->
+    ``restore_variables`` -> streaming step runs; weights and counters
+    survive the trip bit-exactly."""
+    torch = _torch()
+    dr_spaam_mod = load_reference("src.depracted.model.dr_spaam")
+    import yaml
+    import jax
+    import optax
+
+    import bin.import_checkpoint as cli
+    from planar_optical_flow_tpu.models import get_model
+    from planar_optical_flow_tpu.pipeline import (_example_inputs,
+                                                  normalize_config)
+    from planar_optical_flow_tpu.train.checkpoint import restore_variables
+    from planar_optical_flow_tpu.train.state import create_train_state
+    from planar_optical_flow_tpu.interop import import_state_dict
+
+    torch.manual_seed(5)
+    ref_model = dr_spaam_mod.SpatialDROW(
+        num_pts=48, alpha=0.5, window_size=7).eval()
+    randomize_bn_stats(ref_model, seed=5)
+    pth = tmp_path / "dr_spaam_e40.pth"
+    torch.save({"epoch": 40, "it": 1234.5,
+                "model_state": ref_model.state_dict(),
+                "optimizer_state": None}, pth)
+
+    cfg_flat = {
+        "network": "cutout_gating", "num_scans": 2,
+        "similarity_kwargs": {"alpha": 0.5, "window_size": 7},
+        "cutout_kwargs": {"num_cutout_pts": 48},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_flat))
+    out = tmp_path / "imported"
+    assert cli.main(["--pth", str(pth), "--cfg", str(cfg_path),
+                     "--out", str(out), "--cpu"]) == 0
+
+    cfg = normalize_config(cfg_flat)
+    model = get_model(cfg["model"])
+    state = create_train_state(model, _example_inputs(cfg, 1),
+                               optax.identity(),
+                               init_kwargs={"train": False})
+    restored = restore_variables(str(out), state)
+    assert int(restored.epoch) == 40 and int(restored.step) == 1234
+
+    want = import_state_dict(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        ref_model.state_dict(), "dr-spaam")
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, restored.params, want["params"])
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, restored.batch_stats,
+        want["batch_stats"])
+
+    # the restored model runs a streaming step
+    from planar_optical_flow_tpu.models import SpatialDrow
+
+    scan = _jnp().asarray(rng.uniform(-1, 1, (1, 12, 48)).astype(np.float32))
+    cls, reg, template, sim = model.apply(
+        restored.variables, scan, None, method=SpatialDrow.stream_step)
+    assert cls.shape[:2] == (1, 12)
+
+
+def test_flow_drow_import_grafts_detector_and_skips_broken_head(rng):
+    """A pre-trained SpatialDROW .pth grafts into FlowDrow's ``dr_spaam``
+    subtree; a FlowDROW_pretrained state_dict additionally warns that the
+    reference's (broken, shape-incompatible) flow head is skipped and keeps
+    the fresh head initialization."""
+    torch = _torch()
+    dr_spaam_mod = load_reference("src.depracted.model.dr_spaam")
+    import warnings as _warnings
+
+    from planar_optical_flow_tpu.interop import import_state_dict
+    from planar_optical_flow_tpu.models import FlowDrow
+
+    torch.manual_seed(6)
+    ref_det = dr_spaam_mod.SpatialDROW(
+        num_pts=48, alpha=0.5, window_size=7, pedestrian_only=True).eval()
+    randomize_bn_stats(ref_det, seed=6)
+
+    jnp = _jnp()
+    model = FlowDrow(alpha=0.5, window_size=7, pedestrian_only=True)
+    x = jnp.zeros((1, 12, 3, 48))
+    variables = _init_vars(model, x, jnp.zeros((1, 12)))
+
+    got = import_state_dict(variables, ref_det.state_dict(), "flow_drow")
+    np.testing.assert_array_equal(
+        got["params"]["dr_spaam"]["head"]["cls"]["bias"],
+        t2n(ref_det.conv_cls.bias))
+    # flow head untouched (fresh init)
+    np.testing.assert_array_equal(
+        got["params"]["flow_conv1"]["Conv_0"]["bias"],
+        variables["params"]["flow_conv1"]["Conv_0"]["bias"])
+
+    # FlowDROW-style state_dict (detector under dr_spaam., head at root)
+    sd = {f"dr_spaam.{k}": v for k, v in ref_det.state_dict().items()}
+    sd["conv1.0.weight"] = torch.zeros(128, 7, 3)  # broken reference head
+    sd["conv1.0.bias"] = torch.zeros(128)
+    with pytest.warns(UserWarning, match="flow-head weights"):
+        got2 = import_state_dict(variables, sd, "flow_drow")
+    np.testing.assert_array_equal(
+        got2["params"]["dr_spaam"]["head"]["cls"]["bias"],
+        t2n(ref_det.conv_cls.bias))
+
+
+def test_import_mismatch_raises(rng):
+    """Config/checkpoint mismatches fail with readable errors instead of
+    silently mis-importing."""
+    torch = _torch()
+    dr_spaam_mod = load_reference("src.depracted.model.dr_spaam")
+    from planar_optical_flow_tpu.interop import import_state_dict
+    from planar_optical_flow_tpu.models import Drow, SpatialDrow
+
+    torch.manual_seed(7)
+    ref_spatial = dr_spaam_mod.SpatialDROW(num_pts=48, window_size=7).eval()
+
+    jnp = _jnp()
+    # gate-less model fed a SpatialDROW checkpoint
+    drow_vars = _init_vars(Drow(), jnp.zeros((1, 12, 3, 48)))
+    with pytest.raises(ValueError, match="attention gate"):
+        import_state_dict(drow_vars, ref_spatial.state_dict(), "drow")
+
+    # wrong class count: pedestrian-only model, 4-class checkpoint
+    ped_vars = _init_vars(SpatialDrow(window_size=7, pedestrian_only=True),
+                          jnp.zeros((1, 12, 3, 48)))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        import_state_dict(ped_vars, ref_spatial.state_dict(), "dr-spaam")
