@@ -15,3 +15,7 @@ from planar_optical_flow_tpu.infer.calibration import (  # noqa: F401
     ServeCalibration,
     calibrate_serve_v3,
 )
+from planar_optical_flow_tpu.infer.export import (  # noqa: F401
+    export_serving_engine,
+    load_serving_engine,
+)

@@ -1,0 +1,109 @@
+"""AOT serving-engine export (``infer/export.py`` + ``bin/export_serving``).
+
+The CPU/interpret export is pure StableHLO, so the full artifact contract
+— export, reload from disk, bit-identical execution against the live
+jitted pipeline across boot + carried steps — is testable here; the
+TPU-side (Mosaic custom call) roundtrip is ``experiments/probe_export.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import yaml
+
+
+def _tiny_engine(num_pts=64, batch=4, precision="int8c"):
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
+
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=16,
+                         padding_val=29.99, area_mode=True,
+                         gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1, num_pts)),
+                           train=False)
+    rng = np.random.default_rng(0)
+    calib = rng.uniform(0.5, 20.0, (batch, num_pts)).astype(np.float32)
+    step = make_serve_step_v3(model, variables, cutout_kwargs,
+                              calib_scans=calib, num_pts=num_pts,
+                              precision=precision, tile=16, interpret=True)
+    return step, rng
+
+
+def test_export_roundtrip_bit_identical(tmp_path):
+    from planar_optical_flow_tpu.infer import (export_serving_engine,
+                                               load_serving_engine)
+
+    num_pts, batch = 64, 4
+    step, rng = _tiny_engine(num_pts, batch)
+    scan_spec = jax.ShapeDtypeStruct((batch, num_pts), np.float32)
+    out_dir = export_serving_engine(str(tmp_path / "engine"), step,
+                                    scan_spec, meta={"engine": "int8c"})
+
+    engine = load_serving_engine(out_dir)
+    assert engine.meta["batch"] == batch
+    assert engine.meta["engine"] == "int8c"
+
+    live = jax.jit(step.raw_step)
+    live_boot = jax.jit(lambda s: step.raw_step(None, s))
+
+    carry_l = carry_e = None
+    for i in range(3):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (batch, num_pts)),
+                           jnp.float32)
+        if i == 0:
+            carry_l, want = live_boot(scan)
+            carry_e, got = engine(None, scan)
+        else:
+            carry_l, want = live(carry_l, scan)
+            carry_e, got = engine(carry_e, scan)
+        for a, b in zip(jax.tree_util.tree_leaves(want),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"step {i}")
+
+
+def test_export_cli_end_to_end(tmp_path):
+    import bin.export_serving as cli
+    from planar_optical_flow_tpu.infer import load_serving_engine
+
+    cfg = {
+        "network": "cutout_spatial", "num_scans": 2,
+        "pedestrian_only": True,
+        "similarity_kwargs": {"alpha": 0.5, "window_size": 5},
+        "cutout_kwargs": {"fixed": True, "centered": True,
+                          "window_width": 1.0, "window_depth": 0.5,
+                          "num_cutout_pts": 16, "padding_val": 29.99,
+                          "area_mode": True, "gather_mode": "matmul"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "engine"
+    assert cli.main(["--cfg", str(cfg_path), "--out", str(out),
+                     "--batch", "4", "--num-pts", "64", "--tile", "16",
+                     "--engine", "bf16", "--cpu"]) == 0
+
+    engine = load_serving_engine(str(out))
+    assert engine.meta["model_type"] == "flow_drow"
+    rng = np.random.default_rng(1)
+    carry = None
+    for _ in range(2):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (4, 64)), jnp.float32)
+        carry, out_d = engine(carry, scan)
+    assert out_d["pred_cls"].shape == (4, 64, 1)
+    assert np.isfinite(np.asarray(out_d["pred_flow"])).all()
+
+
+def test_export_cli_int8c_requires_calibration(tmp_path):
+    import bin.export_serving as cli
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump({"network": "cutout_spatial"}))
+    with pytest.raises(SystemExit):
+        cli.main(["--cfg", str(cfg_path), "--out", str(tmp_path / "e"),
+                  "--engine", "int8c", "--cpu"])
