@@ -25,7 +25,13 @@ import numpy as np
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--cfg", required=True)
+    parser.add_argument("--cfg", default=None,
+                        help="model config (required unless --artifact)")
+    parser.add_argument("--artifact", default=None,
+                        help="AOT serving-engine directory "
+                             "(bin/export_serving.py); replaces "
+                             "--cfg/--ckpt/--engine — the artifact is "
+                             "self-contained")
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--sequence", required=True,
                         help="path to a DROW .csv scan file (stem ok)")
@@ -52,6 +58,16 @@ def main(argv=None):
                              "path (e.g. next to the checkpoint)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
+    if args.artifact:
+        # the artifact is self-contained; these flags would silently do
+        # nothing (or contradict what is baked into the engine)
+        for flag, name in ((args.cfg, "--cfg"), (args.ckpt, "--ckpt"),
+                           (args.calib, "--calib"),
+                           (args.save_calib, "--save-calib")):
+            if flag:
+                parser.error(f"{name} is incompatible with --artifact")
+    elif not args.cfg:
+        parser.error("--cfg is required (unless --artifact is given)")
     if args.engine != "int8c":
         # fail loudly instead of silently ignoring calibration flags (the
         # run would otherwise complete with no calibration written/used)
@@ -75,9 +91,6 @@ def main(argv=None):
     import jax.numpy as jnp
     import optax
 
-    cfg = normalize_config(load_config(args.cfg))
-    model = get_model(cfg["model"])
-
     stem = args.sequence[:-4] if args.sequence.endswith(".csv") \
         else args.sequence
     _, scan_t, scans = drow_io.load_scan_file(stem)
@@ -91,34 +104,50 @@ def main(argv=None):
         match = np.argmin(np.abs(scan_t[:, None] - odom_t[None, :]), axis=1)
         poses = odom[match]  # (T, 3) world pose per scan
 
-    n_ct = cfg["dataset"].get("cutout_kwargs", {}).get("num_cutout_pts", 48)
-    x = jnp.zeros((1, 450, 2, n_ct))
-    example = (x, jnp.zeros((1, 450))) if cfg["model"]["type"] == "flow_drow" \
-        else (x,)
-    state = create_train_state(model, example, optax.identity(),
-                               init_kwargs={"train": False})
-    if args.ckpt:
-        # variables-only: the trainer's opt_state tree is irrelevant (and
-        # structurally incompatible with the identity-optimizer template)
-        state = ckpt_lib.restore_variables(args.ckpt, state)
+    if args.artifact:
+        runner = StreamingRunner.from_artifact(args.artifact)
+        if runner.meta.get("batch") != 1:
+            parser.error(
+                f"artifact was exported for batch {runner.meta.get('batch')}"
+                f"; per-frame inference needs one exported with --batch 1")
+        if runner.meta.get("num_pts") != scans.shape[1]:
+            parser.error(
+                f"artifact expects {runner.meta.get('num_pts')}-pt scans, "
+                f"sequence has {scans.shape[1]}")
+    else:
+        cfg = normalize_config(load_config(args.cfg))
+        model = get_model(cfg["model"])
 
-    calib = calib_scans = None
-    if args.engine == "int8c":
-        from planar_optical_flow_tpu.infer import ServeCalibration
+        n_ct = cfg["dataset"].get("cutout_kwargs", {}).get(
+            "num_cutout_pts", 48)
+        x = jnp.zeros((1, 450, 2, n_ct))
+        example = (x, jnp.zeros((1, 450))) \
+            if cfg["model"]["type"] == "flow_drow" else (x,)
+        state = create_train_state(model, example, optax.identity(),
+                                   init_kwargs={"train": False})
+        if args.ckpt:
+            # variables-only: the trainer's opt_state tree is irrelevant
+            # (and structurally incompatible with the identity-optimizer
+            # template)
+            state = ckpt_lib.restore_variables(args.ckpt, state)
 
-        if args.calib:
-            calib = ServeCalibration.load(args.calib)
-        elif args.ckpt:
-            calib = ServeCalibration.find(args.ckpt)
-        if calib is None:
-            # self-calibrate on the sequence's first scans (the runtime
-            # encode path observes the same data distribution it serves)
-            calib_scans = np.asarray(scans[:8], np.float32)
+        calib = calib_scans = None
+        if args.engine == "int8c":
+            from planar_optical_flow_tpu.infer import ServeCalibration
 
-    runner = StreamingRunner(model, state.variables,
-                             cfg["dataset"].get("cutout_kwargs", {}),
-                             engine=args.engine, calib=calib,
-                             calib_scans=calib_scans)
+            if args.calib:
+                calib = ServeCalibration.load(args.calib)
+            elif args.ckpt:
+                calib = ServeCalibration.find(args.ckpt)
+            if calib is None:
+                # self-calibrate on the sequence's first scans (the runtime
+                # encode path observes the same data distribution it serves)
+                calib_scans = np.asarray(scans[:8], np.float32)
+
+        runner = StreamingRunner(model, state.variables,
+                                 cfg["dataset"].get("cutout_kwargs", {}),
+                                 engine=args.engine, calib=calib,
+                                 calib_scans=calib_scans)
     if args.save_calib:
         if runner.calibration is None:
             print("error: no calibration produced to save", file=sys.stderr)

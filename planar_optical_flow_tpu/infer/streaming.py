@@ -1113,6 +1113,25 @@ class StreamingRunner:
             self.calibration = self._step_v3.calibration
         # else: lazy — built on the first __call__ (self-calibrating)
 
+    @classmethod
+    def from_artifact(cls, path: str) -> "StreamingRunner":
+        """Run an AOT serving artifact (``bin/export_serving.py``): the
+        serving host needs neither the model code, the checkpoint, nor a
+        calibration — the engine directory is the whole deployment unit.
+        Batch size and scan width are baked into the artifact
+        (``runner.meta``)."""
+        from planar_optical_flow_tpu.infer.export import load_serving_engine
+
+        runner = cls.__new__(cls)
+        runner._engine = "artifact"
+        runner._variables = None
+        runner._template = None
+        runner._step = None
+        runner._step_v3 = load_serving_engine(path)
+        runner.calibration = None
+        runner.meta = runner._step_v3.meta
+        return runner
+
     def reset(self):
         self._template = None
 

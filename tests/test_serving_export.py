@@ -107,3 +107,45 @@ def test_export_cli_int8c_requires_calibration(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["--cfg", str(cfg_path), "--out", str(tmp_path / "e"),
                   "--engine", "int8c", "--cpu"])
+
+
+def test_infer_cli_runs_artifact(tmp_path):
+    """Deployment flow: export an engine (batch 1), then run
+    ``bin/infer.py --artifact`` on a scan sequence — no cfg/ckpt on the
+    serving side."""
+    import bin.export_serving as export_cli
+    import bin.infer as infer_cli
+
+    num_pts = 64
+    cfg = {
+        "network": "cutout_spatial", "pedestrian_only": True,
+        "similarity_kwargs": {"alpha": 0.5, "window_size": 5},
+        "cutout_kwargs": {"fixed": True, "centered": True,
+                          "window_width": 1.0, "window_depth": 0.5,
+                          "num_cutout_pts": 16, "padding_val": 29.99,
+                          "area_mode": True, "gather_mode": "matmul"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    engine_dir = tmp_path / "engine"
+    assert export_cli.main(["--cfg", str(cfg_path), "--out",
+                            str(engine_dir), "--batch", "1", "--num-pts",
+                            str(num_pts), "--tile", "16", "--engine",
+                            "bf16", "--cpu"]) == 0
+
+    # a DROW-format scan csv ([seq, t, ranges...]) with num_pts beams
+    rng = np.random.default_rng(2)
+    t = np.arange(5, dtype=np.float64)[:, None]
+    rows = np.hstack([np.arange(5)[:, None], t,
+                      rng.uniform(0.5, 20.0, (5, num_pts))])
+    seq = tmp_path / "seq.csv"
+    np.savetxt(seq, rows, fmt="%.6f", delimiter=",")
+
+    rc = infer_cli.main(["--artifact", str(engine_dir), "--sequence",
+                         str(seq), "--cpu"])
+    assert rc in (0, None)
+
+    # self-containedness guards: conflicting flags error out
+    with pytest.raises(SystemExit):
+        infer_cli.main(["--artifact", str(engine_dir), "--cfg",
+                        str(cfg_path), "--sequence", str(seq), "--cpu"])
