@@ -54,7 +54,6 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
     import optax
 
@@ -62,28 +61,30 @@ def main(argv=None):
     from planar_optical_flow_tpu.infer.export import export_serving_engine
     from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
     from planar_optical_flow_tpu.models import get_model
-    from planar_optical_flow_tpu.pipeline import normalize_config
+    from planar_optical_flow_tpu.pipeline import (_example_inputs,
+                                                  normalize_config)
     from planar_optical_flow_tpu.train import checkpoint as ckpt_lib
     from planar_optical_flow_tpu.train.state import create_train_state
     from planar_optical_flow_tpu.utils.config import load_config
 
     cfg = normalize_config(load_config(args.cfg))
-    if cfg["model"]["type"] not in ("flow_drow", "dr-spaam", "drow",
+    # the serve-v3 pipeline is built around the attention-gate cell, so
+    # only the gated detector families export (a plain "drow" would crash
+    # inside make_serve_step_v3 on the missing gate subtree)
+    if cfg["model"]["type"] not in ("flow_drow", "dr-spaam",
                                     "spatial_drow"):
-        parser.error(f"serving export supports the streaming detector "
-                     f"models, not {cfg['model']['type']!r}")
+        parser.error(f"serving export supports the gated streaming "
+                     f"detectors (flow_drow / dr-spaam / spatial_drow), "
+                     f"not {cfg['model']['type']!r}")
     model = get_model(cfg["model"])
 
-    n_ct = cfg["dataset"].get("cutout_kwargs", {}).get("num_cutout_pts", 48)
-    x = jnp.zeros((1, args.num_pts, 2, n_ct))
-    example = ((x, jnp.zeros((1, args.num_pts)))
-               if cfg["model"]["type"] == "flow_drow" else (x,))
-    state = create_train_state(model, example, optax.identity(),
+    state = create_train_state(model, _example_inputs(cfg, 1),
+                               optax.identity(),
                                init_kwargs={"train": False})
     if args.ckpt:
         state = ckpt_lib.restore_variables(args.ckpt, state)
 
-    calib = calib_scans = None
+    calib = None
     if args.engine == "int8c":
         if args.calib:
             calib = ServeCalibration.load(args.calib)
@@ -94,15 +95,20 @@ def main(argv=None):
                 "--engine int8c needs int8 scales: persist one with "
                 "`bin/infer.py --engine int8c --save-calib <ckpt_dir>` or "
                 "pass --calib")
+    elif args.calib:
+        # same contract as bin/infer.py: fail loudly instead of silently
+        # exporting an uncalibrated engine
+        parser.error("--calib requires --engine int8c")
 
-    # pallas kernels need interpret mode off-TPU; the interpret-mode
-    # export is pure StableHLO (runs anywhere), the TPU export embeds
-    # Mosaic custom calls (runs on compatible TPUs)
+    # pallas kernels need interpret mode off-TPU; either way the export
+    # is stamped with its lowering platform (engine.json "platforms") and
+    # only runs on that platform family — TPU exports for deployment,
+    # CPU (interpret) exports for CPU hosts and the test suite
     interpret = jax.default_backend() == "cpu"
     step = make_serve_step_v3(
         model, state.variables,
         cfg["dataset"].get("cutout_kwargs", {}),
-        calib_scans=calib_scans, calib=calib, num_pts=args.num_pts,
+        calib=calib, num_pts=args.num_pts,
         precision=args.engine, tile=args.tile, interpret=interpret)
 
     scan_spec = jax.ShapeDtypeStruct((args.batch, args.num_pts), np.float32)

@@ -43,8 +43,9 @@ def main(argv=None):
                              "detections/flow in the world frame "
                              "(reference infer_person_flow.py:112-147)")
     parser.add_argument("--engine", choices=("module", "v3", "int8c"),
-                        default="module",
-                        help="'v3' = fused bf16 pallas serving pipeline "
+                        default=None,
+                        help="default 'module'; "
+                             "'v3' = fused bf16 pallas serving pipeline "
                              "(~4x faster per scan; bf16 tolerance); "
                              "'int8c' = flagship int8 end-to-end pipeline "
                              "(scales from calibration.json next to the "
@@ -62,12 +63,15 @@ def main(argv=None):
         # the artifact is self-contained; these flags would silently do
         # nothing (or contradict what is baked into the engine)
         for flag, name in ((args.cfg, "--cfg"), (args.ckpt, "--ckpt"),
+                           (args.engine, "--engine"),
                            (args.calib, "--calib"),
                            (args.save_calib, "--save-calib")):
             if flag:
                 parser.error(f"{name} is incompatible with --artifact")
     elif not args.cfg:
         parser.error("--cfg is required (unless --artifact is given)")
+    if args.engine is None:
+        args.engine = "module"
     if args.engine != "int8c":
         # fail loudly instead of silently ignoring calibration flags (the
         # run would otherwise complete with no calibration written/used)

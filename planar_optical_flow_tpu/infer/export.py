@@ -16,12 +16,13 @@ dispatch contract:
 * ``step.bin`` — ``(carry, scan) -> (carry, outputs)``
 
 plus ``engine.json`` metadata (batch, num_pts, platform list, jax
-version, the builder-provided extras). Artifacts embed platform-checked
-Mosaic custom calls: an engine exported on TPU runs on compatible TPU
-generations (jax refuses a mismatched platform at call time); engines
-exported from the CPU/interpret path are pure StableHLO and run anywhere
-(tests use this). Shapes are static — one artifact per batch size, like
-any AOT serving bundle.
+version, the builder-provided extras). Every export is stamped with its
+lowering platform and runs only on that platform family
+(:func:`load_serving_engine` checks up front): TPU exports embed Mosaic
+custom calls and run on compatible TPU generations; CPU
+(interpret-mode) exports are plain StableHLO for CPU hosts — the test
+suite exercises those. Shapes are static — one artifact per batch size,
+like any AOT serving bundle.
 
 Verified bit-identical to the jitted live pipeline on both TPU (int8c,
 ``experiments/probe_export.py``) and CPU interpret
@@ -72,13 +73,16 @@ def export_serving_engine(out_dir: str, step, example_scan,
         f.write(boot.serialize())
     with open(os.path.join(out_dir, _STEP), "wb") as f:
         f.write(stepped.serialize())
-    info = {
+    # builder extras first, computed facts last: the batch/num_pts/
+    # platform fields are what load-time safety checks key on, so they
+    # must reflect the export, not a caller's labeling
+    info = dict(meta or {})
+    info.update({
         "batch": int(scan_spec.shape[0]),
         "num_pts": int(scan_spec.shape[1]),
         "platforms": list(boot.platforms),
         "jax_version": jax.__version__,
-    }
-    info.update(meta or {})
+    })
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(info, f, indent=2, sort_keys=True)
     return out_dir
@@ -102,13 +106,25 @@ class ServingEngine:
 
 
 def load_serving_engine(path: str) -> ServingEngine:
-    """Load an engine directory written by :func:`export_serving_engine`."""
+    """Load an engine directory written by :func:`export_serving_engine`.
+
+    Raises a readable error when the artifact was exported for a
+    different platform than this host's backend (jax would otherwise
+    reject it on the first call with a less obvious message).
+    """
     from jax import export as jexport
 
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    backend = jax.default_backend()
+    platforms = [p.lower() for p in meta.get("platforms", [])]
+    if platforms and backend.lower() not in platforms:
+        raise ValueError(
+            f"serving artifact {path} was exported for platform(s) "
+            f"{platforms} but this host's jax backend is {backend!r}; "
+            f"re-export on the target platform (see bin/export_serving.py)")
     with open(os.path.join(path, _BOOT), "rb") as f:
         boot = jexport.deserialize(f.read())
     with open(os.path.join(path, _STEP), "rb") as f:
         step = jexport.deserialize(f.read())
-    with open(os.path.join(path, _META)) as f:
-        meta = json.load(f)
     return ServingEngine(boot, step, meta)

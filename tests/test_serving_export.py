@@ -149,3 +149,52 @@ def test_infer_cli_runs_artifact(tmp_path):
     with pytest.raises(SystemExit):
         infer_cli.main(["--artifact", str(engine_dir), "--cfg",
                         str(cfg_path), "--sequence", str(seq), "--cpu"])
+
+
+def test_export_guards(tmp_path):
+    """Review-pass guards: platform mismatch at load, --engine with
+    --artifact, bf16 --calib, and non-gated model types all fail loudly."""
+    import json
+
+    import bin.export_serving as export_cli
+    import bin.infer as infer_cli
+    from planar_optical_flow_tpu.infer import (export_serving_engine,
+                                               load_serving_engine)
+
+    step, _ = _tiny_engine(64, 2)
+    out = export_serving_engine(str(tmp_path / "e"), step,
+                                jax.ShapeDtypeStruct((2, 64), np.float32))
+
+    # artifact exported for another platform -> readable load-time error
+    meta_path = tmp_path / "e" / "engine.json"
+    meta = json.loads(meta_path.read_text())
+    meta["platforms"] = ["tpu"]
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="exported for platform"):
+        load_serving_engine(str(tmp_path / "e"))
+
+    # computed metadata is authoritative over builder extras
+    step2, _ = _tiny_engine(64, 2)
+    out2 = export_serving_engine(str(tmp_path / "e2"), step2,
+                                 jax.ShapeDtypeStruct((2, 64), np.float32),
+                                 meta={"batch": 999})
+    meta2 = json.loads((tmp_path / "e2" / "engine.json").read_text())
+    assert meta2["batch"] == 2
+
+    # --engine contradicts the artifact's baked-in engine
+    with pytest.raises(SystemExit):
+        infer_cli.main(["--artifact", str(tmp_path / "e2"), "--engine",
+                        "int8c", "--sequence", "x.csv", "--cpu"])
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump({"network": "cutout_spatial"}))
+    # --calib is meaningless for bf16 exports
+    with pytest.raises(SystemExit):
+        export_cli.main(["--cfg", str(cfg_path), "--out",
+                         str(tmp_path / "e3"), "--engine", "bf16",
+                         "--calib", "nope.json", "--cpu"])
+    # plain DROW (no gate) cannot serve on the v3 pipeline
+    cfg_path.write_text(yaml.safe_dump({"network": "cutout"}))
+    with pytest.raises(SystemExit):
+        export_cli.main(["--cfg", str(cfg_path), "--out",
+                         str(tmp_path / "e4"), "--engine", "bf16", "--cpu"])
