@@ -619,3 +619,39 @@ def test_import_mismatch_raises(rng):
                           jnp.zeros((1, 12, 3, 48)))
     with pytest.raises(ValueError, match="shape mismatch"):
         import_state_dict(ped_vars, ref_spatial.state_dict(), "dr-spaam")
+
+
+def test_import_envelope_variants(rng, tmp_path):
+    """Envelope handling: new-generation "step" key, bare state_dicts, and
+    DataParallel "module." prefixes all normalize to the same import."""
+    torch = _torch()
+    prototype_mod = load_reference("src.depracted.model.prototype")
+    from planar_optical_flow_tpu.interop import load_reference_checkpoint
+
+    torch.manual_seed(8)
+    ref = prototype_mod.Prototype(in_channel=2, max_displacement=5).eval()
+    sd = ref.state_dict()
+
+    # new-generation envelope (pipeline/logger.py:171-177 uses "step")
+    p1 = tmp_path / "new.pth"
+    torch.save({"epoch": 3, "step": 77, "model_state": sd,
+                "optimizer_state": None}, p1)
+    sd1, meta1 = load_reference_checkpoint(str(p1))
+    assert meta1 == {"epoch": 3, "step": 77}
+
+    # bare state_dict (no envelope)
+    p2 = tmp_path / "bare.pth"
+    torch.save(sd, p2)
+    sd2, meta2 = load_reference_checkpoint(str(p2))
+    assert meta2 == {"epoch": 0, "step": 0}
+
+    # DataParallel-wrapped keys
+    p3 = tmp_path / "dp.pth"
+    torch.save({"epoch": 1, "it": 5,
+                "model_state": {f"module.{k}": v for k, v in sd.items()},
+                "optimizer_state": None}, p3)
+    sd3, _ = load_reference_checkpoint(str(p3))
+
+    assert sorted(sd1) == sorted(sd2) == sorted(sd3)
+    for k in sd1:
+        np.testing.assert_array_equal(sd1[k], sd3[k])
