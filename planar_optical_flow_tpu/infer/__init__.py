@@ -8,6 +8,7 @@ from planar_optical_flow_tpu.infer.streaming import (  # noqa: F401
     make_serve_step_v3,
     make_serve_sequence_processor,
     cast_variables,
+    merge_stream_carries,
     StreamingRunner,
 )
 from planar_optical_flow_tpu.infer.box_regressor import BoxRegressor  # noqa: F401

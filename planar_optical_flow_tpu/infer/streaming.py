@@ -61,6 +61,51 @@ def _detection_epilogue(scan, pred_cls, pred_reg, flow, phi_j, *,
     return out
 
 
+def merge_stream_carries(carry, boot_carry, reset_mask):
+    """Per-stream carry merge: rows belonging to streams where
+    ``reset_mask`` is True are taken from ``boot_carry``, the rest keep
+    ``carry``. This is how individual streams (robots/sensors) join or
+    restart inside a live serving batch without disturbing the others.
+
+    Works for every engine's carry because each leaf's leading dimension
+    is the batch times a per-leaf row count, laid out stream-major: the
+    module path's ``(B, ...)`` template, the flat/pm/p2 serving carries'
+    ``(B * rows_per_stream, ...)`` template/z (cutouts are stream-major
+    and the pm block size divides the padded cutout count, so no row
+    block straddles streams).
+
+    ``reset_mask``: (B,) bool. Returns a new carry pytree.
+    """
+    mask = jnp.asarray(reset_mask, dtype=bool)
+    b = mask.shape[0]
+
+    def merge(old, boot):
+        if old.shape != boot.shape:
+            raise ValueError(
+                f"carry/boot leaf shape mismatch: {old.shape} vs "
+                f"{boot.shape}")
+        rows = old.shape[0]
+        if rows % b:
+            raise ValueError(
+                f"carry leaf leading dim {rows} is not a multiple of the "
+                f"batch {b} — cannot attribute rows to streams")
+        m = jnp.repeat(mask, rows // b)
+        return jnp.where(m.reshape((rows,) + (1,) * (old.ndim - 1)),
+                         boot, old)
+
+    return jax.tree_util.tree_map(merge, carry, boot_carry)
+
+
+def _merge_stream_outputs(out, boot_out, reset_mask):
+    """Outputs counterpart of :func:`merge_stream_carries`: every output
+    leaf leads with the batch dim."""
+    mask = jnp.asarray(reset_mask, dtype=bool)
+    return jax.tree_util.tree_map(
+        lambda a, bo: jnp.where(
+            mask.reshape((mask.shape[0],) + (1,) * (a.ndim - 1)), bo, a),
+        out, boot_out)
+
+
 def _encode_single(scan, phi, cutout_kwargs):
     kw = dict(cutout_kwargs)
     if kw.pop("area_mode", False):
@@ -1082,6 +1127,7 @@ class StreamingRunner:
         self._engine = engine
         self._variables = variables
         self._template = None
+        self._pending_reset = None
         self._step = self._step_v3 = None
         self.calibration = None
         if engine == "module":
@@ -1126,24 +1172,65 @@ class StreamingRunner:
         runner._engine = "artifact"
         runner._variables = None
         runner._template = None
+        runner._pending_reset = None
         runner._step = None
         runner._step_v3 = load_serving_engine(path)
         runner.calibration = None
         runner.meta = runner._step_v3.meta
         return runner
 
-    def reset(self):
-        self._template = None
+    def reset(self, streams=None):
+        """Start streams over.
+
+        ``streams=None`` resets the whole batch (the carry is dropped;
+        the next call runs the bootstrap program). ``streams=[i, ...]``
+        resets only those batch rows: on the next call the bootstrap and
+        the carried step both run, and the named rows take the bootstrap
+        result (carry AND outputs) while every other stream continues
+        undisturbed — how robots join/leave a live serving batch.
+        Per-stream resets cost one extra step execution on that call
+        only."""
+        if streams is None:
+            self._template = None
+            self._pending_reset = None
+            return
+        idx = np.atleast_1d(np.asarray(streams, dtype=np.int64))
+        prev = getattr(self, "_pending_reset", None)
+        self._pending_reset = (
+            idx if prev is None else np.union1d(prev, idx))
+
+    def _dispatch(self, carry, scan):
+        if self._step is not None:
+            carry, out = self._step(self._variables, carry, scan)
+        else:
+            carry, out = self._step_v3(carry, scan)
+        return carry, out
 
     def __call__(self, scan: np.ndarray) -> dict:
         """Process one ``(B, P)`` scan batch; returns numpy outputs."""
         scan = jnp.asarray(scan, dtype=jnp.float32)
-        if self._step is not None:
-            self._template, out = self._step(self._variables,
-                                             self._template, scan)
-            return out
-        if self._step_v3 is None:  # lazy int8c: calibrate on this batch
+        if self._step is None and self._step_v3 is None:
+            # lazy int8c: calibrate on this batch
             self._step_v3 = self._build_v3(calib_scans=np.asarray(scan))
             self.calibration = self._step_v3.calibration
-        self._template, out = self._step_v3(self._template, scan)
+        pending = getattr(self, "_pending_reset", None)
+        if pending is not None and self._template is not None:
+            b = scan.shape[0]
+            if pending.min() < 0 or pending.max() >= b:
+                raise ValueError(
+                    f"reset stream indices {pending.tolist()} out of "
+                    f"range for batch {b}")
+            mask = np.zeros(b, dtype=bool)
+            mask[pending] = True
+            # bootstrap does not touch the carry, so it can run before
+            # the carried step donates it
+            boot_carry, boot_out = self._dispatch(None, scan)
+            self._template, out = self._dispatch(self._template, scan)
+            self._template = merge_stream_carries(
+                self._template, boot_carry, mask)
+            out = _merge_stream_outputs(out, boot_out, mask)
+            self._pending_reset = None
+            return out
+        self._pending_reset = None
+        self._template, out = self._dispatch(self._template, scan)
         return out
