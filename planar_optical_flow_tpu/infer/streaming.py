@@ -988,6 +988,7 @@ def make_serve_sequence_processor(model, variables, cutout_kwargs,
             return process_boot(scans)
         return process_carry(carry, scans)
 
+    process.calibration = dispatch.calibration  # persistable int8 scales
     return process
 
 

@@ -261,3 +261,36 @@ def test_evaluate_cli_auto_engine_resolution(tmp_path):
     assert (engine, calib) == ("v3", None)
     engine, calib = _resolve_ap_engine("module", str(ckpt))
     assert (engine, calib) == ("module", None)
+
+
+def test_infer_cli_replay(tmp_path, rng):
+    """``bin/infer.py --replay``: chunked deferred readback (a window of
+    steps in flight, one stacked transfer per window); smoke both the
+    module and fused engines on a synthetic DROW-format CSV."""
+    import yaml
+
+    import bin.infer as infer_cli
+
+    num_pts = 64
+    cfg = {
+        "network": "cutout_spatial", "pedestrian_only": True,
+        "similarity_kwargs": {"alpha": 0.5, "window_size": 5},
+        "cutout_kwargs": {"fixed": True, "centered": True,
+                          "window_width": 1.0, "window_depth": 0.5,
+                          "num_cutout_pts": 16, "padding_val": 29.99,
+                          "area_mode": True, "gather_mode": "matmul"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    # 20 frames: covers one full 16-frame window AND the tail drain
+    t = np.arange(20, dtype=np.float64)[:, None]
+    rows = np.hstack([np.arange(20)[:, None], t,
+                      rng.uniform(0.5, 20.0, (20, num_pts))])
+    seq = tmp_path / "seq.csv"
+    np.savetxt(seq, rows, fmt="%.6f", delimiter=",")
+
+    for engine in ("module", "v3"):
+        rc = infer_cli.main(["--cfg", str(cfg_path), "--sequence",
+                             str(seq), "--replay", "--engine", engine,
+                             "--cpu"])
+        assert rc in (0, None), engine
