@@ -34,9 +34,12 @@ def main(argv=None):
                         help="orbax checkpoint directory (omit for a "
                              "fresh-init engine, e.g. smoke tests)")
     parser.add_argument("--out", required=True)
-    parser.add_argument("--batch", type=int, default=128,
+    parser.add_argument("--batch", default="128",
                         help="number of concurrent streams baked into the "
-                             "artifact")
+                             "artifact; a comma list (e.g. 1,64,128) "
+                             "exports one program pair per batch into the "
+                             "same artifact and the loaded engine routes "
+                             "on the incoming scan's batch")
     parser.add_argument("--engine", choices=("int8c", "bf16"),
                         default="int8c")
     parser.add_argument("--calib", default=None,
@@ -111,7 +114,17 @@ def main(argv=None):
         calib=calib, num_pts=args.num_pts,
         precision=args.engine, tile=args.tile, interpret=interpret)
 
-    scan_spec = jax.ShapeDtypeStruct((args.batch, args.num_pts), np.float32)
+    try:
+        batches = [int(b) for b in str(args.batch).split(",") if b.strip()]
+    except ValueError:
+        parser.error(f"--batch must be an int or comma list of ints, "
+                     f"got {args.batch!r}")
+    if not batches or any(b < 1 for b in batches):
+        parser.error(f"--batch sizes must be >= 1, got {args.batch!r}")
+    scan_spec = [jax.ShapeDtypeStruct((b, args.num_pts), np.float32)
+                 for b in batches]
+    if len(scan_spec) == 1:
+        scan_spec = scan_spec[0]
     export_serving_engine(args.out, step, scan_spec, meta={
         "engine": args.engine,
         "model_type": cfg["model"]["type"],
@@ -122,8 +135,9 @@ def main(argv=None):
     sizes = {f: os.path.getsize(os.path.join(args.out, f))
              for f in os.listdir(args.out)}
     total = sum(sizes.values()) / 1e6
-    print(f"exported {args.engine} serving engine (batch {args.batch}, "
-          f"{args.num_pts} pts) -> {args.out} ({total:.2f} MB)")
+    print(f"exported {args.engine} serving engine (batch "
+          f"{','.join(map(str, batches))}, {args.num_pts} pts) -> "
+          f"{args.out} ({total:.2f} MB)")
     return 0
 
 

@@ -118,10 +118,12 @@ def main(argv=None):
 
     if args.artifact:
         runner = StreamingRunner.from_artifact(args.artifact)
-        if runner.meta.get("batch") != 1:
+        batches = (runner.meta.get("batches")
+                   or [runner.meta.get("batch")])
+        if 1 not in batches:
             parser.error(
-                f"artifact was exported for batch {runner.meta.get('batch')}"
-                f"; per-frame inference needs one exported with --batch 1")
+                f"artifact was exported for batch(es) {batches}; per-frame "
+                f"inference needs one that includes --batch 1")
         if runner.meta.get("num_pts") != scans.shape[1]:
             parser.error(
                 f"artifact expects {runner.meta.get('num_pts')}-pt scans, "

@@ -45,42 +45,64 @@ _STEP = "step.bin"
 def export_serving_engine(out_dir: str, step, example_scan,
                           meta: dict | None = None) -> str:
     """Serialize a built serving step (a :func:`make_serve_step_v3`
-    dispatch) for the given scan batch shape. Returns ``out_dir``.
+    dispatch) for the given scan batch shape(s). Returns ``out_dir``.
 
     ``example_scan``: ``(B, num_pts)`` array or ``jax.ShapeDtypeStruct``
     — only shape/dtype are used; no compile or device execution happens
-    at export time (tracing + lowering only).
+    at export time (tracing + lowering only). A LIST of specs exports one
+    boot/step program pair per batch size into the same artifact
+    (``boot_b{B}.bin``/``step_b{B}.bin``); the loaded engine routes on
+    the incoming scan's batch. Shapes are otherwise static — the step is
+    shape-polymorphic only at trace time, so each batch is its own
+    serialized program.
     """
     from jax import export as jexport
 
     raw = step.raw_step
-    scan_spec = jax.ShapeDtypeStruct(np.shape(example_scan),
-                                     getattr(example_scan, "dtype",
-                                             np.float32))
-    boot = jexport.export(jax.jit(lambda s: raw(None, s)))(scan_spec)
-    boot_out = jax.tree_util.tree_unflatten(boot.out_tree, boot.out_avals)
-    carry_spec = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), boot_out[0])
-    # carry donation must be baked into the exported program: without it
-    # every loaded-engine step copies the int8 template carry, costing
-    # ~0.8 ms at B=128 (13.08 vs 12.24 ms/step measured on v5e — with
-    # donation the artifact matches the live pipeline, 12.27 ms)
-    stepped = jexport.export(jax.jit(raw, donate_argnums=(0,)))(carry_spec,
-                                                               scan_spec)
+    specs = (list(example_scan) if isinstance(example_scan, (list, tuple))
+             else [example_scan])
+    scan_specs = [
+        jax.ShapeDtypeStruct(np.shape(s), getattr(s, "dtype", np.float32))
+        for s in specs
+    ]
+    batches = [int(s.shape[0]) for s in scan_specs]
+    if len(set(batches)) != len(batches):
+        raise ValueError(f"duplicate batch sizes in export: {batches}")
+    if len({s.shape[1] for s in scan_specs}) != 1:
+        raise ValueError("all exported batches must share num_pts")
 
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, _BOOT), "wb") as f:
-        f.write(boot.serialize())
-    with open(os.path.join(out_dir, _STEP), "wb") as f:
-        f.write(stepped.serialize())
+    single = len(scan_specs) == 1
+    platforms = None
+    for scan_spec, b in zip(scan_specs, batches):
+        boot = jexport.export(jax.jit(lambda s: raw(None, s)))(scan_spec)
+        boot_out = jax.tree_util.tree_unflatten(boot.out_tree,
+                                                boot.out_avals)
+        carry_spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), boot_out[0])
+        # carry donation must be baked into the exported program: without
+        # it every loaded-engine step copies the int8 template carry,
+        # costing ~0.8 ms at B=128 (13.08 vs 12.24 ms/step measured on
+        # v5e — with donation the artifact matches the live pipeline)
+        stepped = jexport.export(jax.jit(raw, donate_argnums=(0,)))(
+            carry_spec, scan_spec)
+        platforms = list(boot.platforms)
+        boot_name = _BOOT if single else f"boot_b{b}.bin"
+        step_name = _STEP if single else f"step_b{b}.bin"
+        with open(os.path.join(out_dir, boot_name), "wb") as f:
+            f.write(boot.serialize())
+        with open(os.path.join(out_dir, step_name), "wb") as f:
+            f.write(stepped.serialize())
+
     # builder extras first, computed facts last: the batch/num_pts/
     # platform fields are what load-time safety checks key on, so they
     # must reflect the export, not a caller's labeling
     info = dict(meta or {})
     info.update({
-        "batch": int(scan_spec.shape[0]),
-        "num_pts": int(scan_spec.shape[1]),
-        "platforms": list(boot.platforms),
+        "batch": batches[0] if single else None,  # legacy single-batch key
+        "batches": sorted(batches),
+        "num_pts": int(scan_specs[0].shape[1]),
+        "platforms": platforms,
         "jax_version": jax.__version__,
     })
     with open(os.path.join(out_dir, _META), "w") as f:
@@ -91,18 +113,32 @@ def export_serving_engine(out_dir: str, step, example_scan,
 class ServingEngine:
     """A loaded serving artifact. Same call contract as the live dispatch:
     ``engine(carry, scan) -> (carry', outputs)`` with ``carry=None``
-    bootstrapping a stream. ``engine.meta`` holds the artifact metadata."""
+    bootstrapping a stream. Routes on the scan's batch when the artifact
+    holds several batch sizes. ``engine.meta`` holds the metadata."""
 
-    def __init__(self, boot, step, meta: dict):
-        # jit the exported calls so repeat dispatches hit the cache
-        self._boot = jax.jit(boot.call)
-        self._step = jax.jit(step.call, donate_argnums=(0,))
+    def __init__(self, programs: dict, meta: dict):
+        # programs: {batch: (boot, step)}; jit the exported calls so
+        # repeat dispatches hit the cache
+        self._programs = {
+            b: (jax.jit(boot.call), jax.jit(step.call, donate_argnums=(0,)))
+            for b, (boot, step) in programs.items()
+        }
         self.meta = meta
 
+    def _resolve(self, scan):
+        b = scan.shape[0]
+        if b not in self._programs:
+            raise ValueError(
+                f"no exported program for batch {b}; this artifact holds "
+                f"batches {sorted(self._programs)} (re-export with the "
+                f"batch you need, see bin/export_serving.py --batch)")
+        return self._programs[b]
+
     def __call__(self, carry, scan):
+        boot, step = self._resolve(scan)
         if carry is None:
-            return self._boot(scan)
-        return self._step(carry, scan)
+            return boot(scan)
+        return step(carry, scan)
 
 
 def load_serving_engine(path: str) -> ServingEngine:
@@ -123,8 +159,15 @@ def load_serving_engine(path: str) -> ServingEngine:
             f"serving artifact {path} was exported for platform(s) "
             f"{platforms} but this host's jax backend is {backend!r}; "
             f"re-export on the target platform (see bin/export_serving.py)")
-    with open(os.path.join(path, _BOOT), "rb") as f:
-        boot = jexport.deserialize(f.read())
-    with open(os.path.join(path, _STEP), "rb") as f:
-        step = jexport.deserialize(f.read())
-    return ServingEngine(boot, step, meta)
+
+    def _read(name):
+        with open(os.path.join(path, name), "rb") as f:
+            return jexport.deserialize(f.read())
+
+    batches = meta.get("batches") or [meta["batch"]]
+    if len(batches) == 1 and os.path.exists(os.path.join(path, _BOOT)):
+        programs = {int(batches[0]): (_read(_BOOT), _read(_STEP))}
+    else:
+        programs = {int(b): (_read(f"boot_b{b}.bin"), _read(f"step_b{b}.bin"))
+                    for b in batches}
+    return ServingEngine(programs, meta)

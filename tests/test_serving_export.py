@@ -198,3 +198,69 @@ def test_export_guards(tmp_path):
     with pytest.raises(SystemExit):
         export_cli.main(["--cfg", str(cfg_path), "--out",
                          str(tmp_path / "e4"), "--engine", "bf16", "--cpu"])
+
+
+def test_export_multi_batch_routing(tmp_path):
+    """One artifact holding several batch sizes: the loaded engine routes
+    on the incoming scan's batch, each program bit-identical to the live
+    pipeline at its size; an un-exported batch raises with the list."""
+    from planar_optical_flow_tpu.infer import (export_serving_engine,
+                                               load_serving_engine)
+
+    num_pts = 64
+    step, rng = _tiny_engine(num_pts, 4)
+    specs = [jax.ShapeDtypeStruct((b, num_pts), np.float32) for b in (1, 4)]
+    out_dir = export_serving_engine(str(tmp_path / "engine"), step, specs,
+                                    meta={"engine": "int8c"})
+    engine = load_serving_engine(out_dir)
+    assert engine.meta["batches"] == [1, 4]
+    assert engine.meta["batch"] is None
+
+    live_boot = jax.jit(lambda s: step.raw_step(None, s))
+    for b in (1, 4):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (b, num_pts)), jnp.float32)
+        _, want = live_boot(scan)
+        _, got = engine(None, scan)
+        for a, e in zip(jax.tree_util.tree_leaves(want),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(e),
+                                          err_msg=f"batch {b}")
+
+    with pytest.raises(ValueError, match=r"batches \[1, 4\]"):
+        engine(None, jnp.zeros((2, num_pts), jnp.float32))
+
+    # export-side validation
+    with pytest.raises(ValueError, match="duplicate"):
+        export_serving_engine(str(tmp_path / "dup"), step,
+                              [specs[0], specs[0]])
+
+
+def test_export_cli_multi_batch(tmp_path):
+    """``--batch 1,2`` through the CLI; bad lists rejected."""
+    import bin.export_serving as cli
+
+    cfg = {
+        "network": "cutout_spatial", "pedestrian_only": True,
+        "similarity_kwargs": {"alpha": 0.5, "window_size": 5},
+        "cutout_kwargs": {"fixed": True, "centered": True,
+                          "window_width": 1.0, "window_depth": 0.5,
+                          "num_cutout_pts": 16, "padding_val": 29.99,
+                          "area_mode": True, "gather_mode": "matmul"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "engine"
+    assert cli.main(["--cfg", str(cfg_path), "--out", str(out),
+                     "--batch", "1,2", "--num-pts", "64", "--tile", "16",
+                     "--engine", "bf16", "--cpu"]) == 0
+    from planar_optical_flow_tpu.infer import load_serving_engine
+
+    engine = load_serving_engine(str(out))
+    assert engine.meta["batches"] == [1, 2]
+    for b in (1, 2):
+        carry, outp = engine(None, jnp.zeros((b, 64), jnp.float32))
+        assert outp["pred_cls"].shape[0] == b
+
+    with pytest.raises(SystemExit):
+        cli.main(["--cfg", str(cfg_path), "--out", str(tmp_path / "x"),
+                  "--batch", "1,zap", "--num-pts", "64", "--cpu"])
