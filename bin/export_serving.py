@@ -10,7 +10,9 @@ The artifact directory (``boot.bin`` / ``step.bin`` / ``engine.json``)
 is loaded with ``infer.load_serving_engine(path)`` and called like the
 live step — ``engine(carry, scan)``, ``carry=None`` boots a stream — on
 a host that needs neither the model code, the checkpoint, nor the int8
-calibration. One artifact per batch size (static shapes).
+calibration. Shapes are static; ``--batch 1,64,128`` exports one program
+pair per batch size (``boot_b{B}.bin``/``step_b{B}.bin``) into the same
+artifact, and the loaded engine routes on the incoming scan's batch.
 
 ``--engine int8c`` (flagship) needs the int8 scales: a ``calibration.json``
 next to the checkpoint (``bin/infer.py --save-calib``), or ``--calib``.
@@ -50,6 +52,17 @@ def main(argv=None):
     parser.add_argument("--tile", type=int, default=128)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
+
+    # validate --batch before the expensive model build / checkpoint
+    # restore / serving-step construction (minutes on a remote chip) so
+    # a CLI typo fails instantly
+    try:
+        batches = [int(b) for b in str(args.batch).split(",") if b.strip()]
+    except ValueError:
+        parser.error(f"--batch must be an int or comma list of ints, "
+                     f"got {args.batch!r}")
+    if not batches or any(b < 1 for b in batches):
+        parser.error(f"--batch sizes must be >= 1, got {args.batch!r}")
 
     if args.cpu:
         import jax
@@ -114,13 +127,6 @@ def main(argv=None):
         calib=calib, num_pts=args.num_pts,
         precision=args.engine, tile=args.tile, interpret=interpret)
 
-    try:
-        batches = [int(b) for b in str(args.batch).split(",") if b.strip()]
-    except ValueError:
-        parser.error(f"--batch must be an int or comma list of ints, "
-                     f"got {args.batch!r}")
-    if not batches or any(b < 1 for b in batches):
-        parser.error(f"--batch sizes must be >= 1, got {args.batch!r}")
     scan_spec = [jax.ShapeDtypeStruct((b, args.num_pts), np.float32)
                  for b in batches]
     if len(scan_spec) == 1:

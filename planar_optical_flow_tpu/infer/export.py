@@ -15,14 +15,17 @@ dispatch contract:
   stream; builds the template carry)
 * ``step.bin`` — ``(carry, scan) -> (carry, outputs)``
 
-plus ``engine.json`` metadata (batch, num_pts, platform list, jax
+plus ``engine.json`` metadata (batch list, num_pts, platform list, jax
 version, the builder-provided extras). Every export is stamped with its
 lowering platform and runs only on that platform family
 (:func:`load_serving_engine` checks up front): TPU exports embed Mosaic
 custom calls and run on compatible TPU generations; CPU
 (interpret-mode) exports are plain StableHLO for CPU hosts — the test
-suite exercises those. Shapes are static — one artifact per batch size,
-like any AOT serving bundle.
+suite exercises those. Shapes are static, but one artifact may hold
+SEVERAL batch sizes: exporting a list of scan specs writes one program
+pair per batch (``boot_b{B}.bin``/``step_b{B}.bin``) and the loaded
+engine routes on the incoming scan's batch; a single spec keeps the
+legacy ``boot.bin``/``step.bin`` layout.
 
 Verified bit-identical to the jitted live pipeline on both TPU (int8c,
 ``experiments/probe_export.py``) and CPU interpret
@@ -73,6 +76,18 @@ def export_serving_engine(out_dir: str, step, example_scan,
 
     os.makedirs(out_dir, exist_ok=True)
     single = len(scan_specs) == 1
+    # drop program files from a previous export into this directory that
+    # this export will not overwrite — stale programs (possibly from
+    # different weights) must not ship alongside the new engine.json
+    expected = ({_BOOT, _STEP} if single else
+                {f"{k}_b{b}.bin" for b in batches for k in ("boot", "step")})
+    for name in os.listdir(out_dir):
+        is_program = (name in (_BOOT, _STEP)
+                      or (name.endswith(".bin")
+                          and (name.startswith("boot_b")
+                               or name.startswith("step_b"))))
+        if is_program and name not in expected:
+            os.remove(os.path.join(out_dir, name))
     platforms = None
     for scan_spec, b in zip(scan_specs, batches):
         boot = jexport.export(jax.jit(lambda s: raw(None, s)))(scan_spec)

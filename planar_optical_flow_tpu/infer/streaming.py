@@ -1190,12 +1190,17 @@ class StreamingRunner:
         result (carry AND outputs) while every other stream continues
         undisturbed — how robots join/leave a live serving batch.
         Per-stream resets cost one extra step execution on that call
-        only."""
+        only. An empty ``streams`` list is a no-op."""
         if streams is None:
             self._template = None
             self._pending_reset = None
             return
         idx = np.atleast_1d(np.asarray(streams, dtype=np.int64))
+        if idx.size == 0:
+            return
+        if idx.min() < 0:
+            raise ValueError(
+                f"reset stream indices must be >= 0, got {idx.tolist()}")
         prev = getattr(self, "_pending_reset", None)
         self._pending_reset = (
             idx if prev is None else np.union1d(prev, idx))
@@ -1217,10 +1222,14 @@ class StreamingRunner:
         pending = getattr(self, "_pending_reset", None)
         if pending is not None and self._template is not None:
             b = scan.shape[0]
-            if pending.min() < 0 or pending.max() >= b:
+            if pending.max() >= b:
+                # drop the out-of-range indices so a corrected reset()
+                # retry works — union1d must not re-accumulate them
+                self._pending_reset = pending[pending < b]
                 raise ValueError(
                     f"reset stream indices {pending.tolist()} out of "
-                    f"range for batch {b}")
+                    f"range for batch {b} (invalid indices discarded; "
+                    f"in-range ones stay pending)")
             mask = np.zeros(b, dtype=bool)
             mask[pending] = True
             # bootstrap does not touch the carry, so it can run before

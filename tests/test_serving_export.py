@@ -235,6 +235,39 @@ def test_export_multi_batch_routing(tmp_path):
                               [specs[0], specs[0]])
 
 
+def test_reexport_removes_stale_programs(tmp_path):
+    """Re-exporting into an existing directory must not leave program
+    files from a previous batch list on disk next to the new
+    engine.json (stale programs may come from different weights)."""
+    import os
+
+    from planar_optical_flow_tpu.infer import (export_serving_engine,
+                                               load_serving_engine)
+
+    num_pts = 64
+    step, rng = _tiny_engine(num_pts, 4)
+    out = str(tmp_path / "engine")
+    specs_a = [jax.ShapeDtypeStruct((b, num_pts), np.float32)
+               for b in (1, 4)]
+    export_serving_engine(out, step, specs_a)
+    assert os.path.exists(os.path.join(out, "boot_b1.bin"))
+
+    # re-export with a different batch list: b1 programs must be gone
+    export_serving_engine(
+        out, step, jax.ShapeDtypeStruct((4, num_pts), np.float32))
+    names = set(os.listdir(out))
+    assert "boot_b1.bin" not in names and "step_b1.bin" not in names
+    assert {"boot.bin", "step.bin", "engine.json"} <= names
+    engine = load_serving_engine(out)
+    scan = jnp.asarray(rng.uniform(0.5, 20.0, (4, num_pts)), jnp.float32)
+    engine(None, scan)
+
+    # and the reverse direction drops the legacy single-batch layout
+    export_serving_engine(out, step, specs_a)
+    names = set(os.listdir(out))
+    assert "boot.bin" not in names and "step.bin" not in names
+
+
 def test_export_cli_multi_batch(tmp_path):
     """``--batch 1,2`` through the CLI; bad lists rejected."""
     import bin.export_serving as cli

@@ -124,3 +124,31 @@ def test_reset_index_out_of_range(rng):
     r.reset(streams=[B])
     with pytest.raises(ValueError, match="out of range"):
         r(scans[1])
+    # the bad index must not poison the runner: it is discarded on the
+    # raise, so a corrected reset + call works (union1d must not
+    # re-accumulate the stale index)
+    r.reset(streams=[0])
+    out = r(scans[1])
+    assert "pred_cls" in out
+
+
+def test_reset_empty_is_noop(rng):
+    model, variables = _small_model()
+    scans = _scans(rng)
+    r = _runner("module", model, variables, scans[0])
+    r(scans[0])
+    baseline = _runner("module", model, variables, scans[0])
+    baseline(scans[0])
+    r.reset(streams=[])
+    out = r(scans[1])
+    ref = baseline(scans[1])
+    for key in ref:
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]))
+
+
+def test_reset_negative_index_raises():
+    model, variables = _small_model()
+    r = _runner("module", model, variables, None)
+    with pytest.raises(ValueError, match=">= 0"):
+        r.reset(streams=[-1])
