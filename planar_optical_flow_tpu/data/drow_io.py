@@ -42,9 +42,18 @@ def list_sequences(data_dir: str, split: str) -> list[str]:
     return sorted(f[:-4] for f in glob(os.path.join(data_dir, split, "*.csv")))
 
 
+def _require_cols(data: np.ndarray, min_cols: int, path: str) -> np.ndarray:
+    if data.ndim != 2 or data.shape[1] < min_cols:
+        raise ValueError(
+            f"malformed DROW file {path}: expected >= {min_cols} "
+            f"comma-separated columns per line, got shape {data.shape}")
+    return data
+
+
 def load_scan_file(seq_stem: str):
     """-> (seq_ids (T,) uint32, timestamps (T,) f32, scans (T, P) f32)."""
-    data = _read_csv_floats(seq_stem + ".csv")
+    data = _require_cols(_read_csv_floats(seq_stem + ".csv"), 3,
+                         seq_stem + ".csv")
     return (
         data[:, 0].astype(np.uint32),
         data[:, 1].astype(np.float32),
@@ -58,13 +67,19 @@ def load_detection_file(seq_stem: str):
     def read_one(path):
         ids, dets = [], []
         with open(path) as f:
-            for line in f:
+            for lineno, line in enumerate(f, 1):
                 line = line.strip()
                 if not line:
                     continue
-                head, tail = line.split(",", 1)
-                ids.append(int(head))
-                dets.append(json.loads(tail))
+                try:
+                    head, tail = line.split(",", 1)
+                    ids.append(int(head))
+                    dets.append(json.loads(tail))
+                except (ValueError, json.JSONDecodeError) as e:
+                    raise ValueError(
+                        f"malformed annotation line {path}:{lineno} "
+                        f"(expected 'seq_id,[[r, phi], ...]'): {e}"
+                    ) from None
         return ids, dets
 
     ids_c, wcs = read_one(seq_stem + ".wc")
@@ -77,7 +92,8 @@ def load_detection_file(seq_stem: str):
 
 def load_odometry_file(seq_stem: str):
     """``.odom2`` -> (seq_ids (T,), timestamps (T,), poses (T, 3) [x y phi])."""
-    data = _read_csv_floats(seq_stem + ".odom2")
+    data = _require_cols(_read_csv_floats(seq_stem + ".odom2"), 5,
+                         seq_stem + ".odom2")
     return (
         data[:, 0].astype(np.uint32),
         data[:, 1].astype(np.float32),
@@ -87,11 +103,16 @@ def load_odometry_file(seq_stem: str):
 
 def load_diff_odometry_file(seq_stem: str):
     """``.difodom`` -> (dt (T,), dpose (T, 3))."""
-    data = _read_csv_floats(seq_stem + ".difodom")
+    data = _require_cols(_read_csv_floats(seq_stem + ".difodom"), 4,
+                         seq_stem + ".difodom")
     return data[:, 0].astype(np.float32), data[:, 1:4].astype(np.float32)
 
 
 def load_flow_file(seq_stem: str, num_pts: int = 450):
     """``.flow`` -> (T, P, 2) float32 flow targets."""
     data = _read_csv_floats(seq_stem + ".flow")
+    if data.size % (num_pts * 2):
+        raise ValueError(
+            f"malformed flow file {seq_stem}.flow: {data.size} values is "
+            f"not a whole number of scans at {num_pts} pts x 2")
     return data.reshape(-1, num_pts, 2).astype(np.float32)

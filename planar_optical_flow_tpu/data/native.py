@@ -79,11 +79,16 @@ def read_csv(path: str) -> np.ndarray | None:
 
 
 def lzf_decompress(data: bytes, expected_size: int) -> bytes | None:
+    """Returns None only when the native library is unavailable (caller
+    falls back to the python decoder); a corrupt stream raises — it must
+    NOT fall through to a second decoder that would fail less readably."""
     lib = _load()
     if lib is None:
         return None
     out = (ctypes.c_uint8 * expected_size)()
     n = lib.pof_lzf_decompress(data, len(data), out, expected_size)
     if n < 0:
-        return None
+        raise ValueError(
+            "corrupt LZF stream (out-of-range back-reference, truncated "
+            "run, or output overflow)")
     return bytes(bytearray(out)[:n])

@@ -19,19 +19,23 @@ _TYPE_MAP = {
 
 
 def lzf_decompress(data: bytes, expected_size: int) -> bytes:
-    """LZF decompression (liblzf format). Native if available."""
+    """LZF decompression (liblzf format). Native if available; a corrupt
+    stream raises ValueError from either decoder."""
     try:
         from planar_optical_flow_tpu.data import native
-
+    except Exception:
+        native = None
+    if native is not None:
         out = native.lzf_decompress(data, expected_size)
         if out is not None:
             return out
-    except Exception:
-        pass
     return _lzf_decompress_py(data, expected_size)
 
 
 def _lzf_decompress_py(data: bytes, expected_size: int) -> bytes:
+    bad = ValueError(
+        "corrupt LZF stream (out-of-range back-reference, truncated "
+        "run, or output overflow)")
     out = bytearray(expected_size)
     i, o, n = 0, 0, len(data)
     while i < n:
@@ -39,16 +43,24 @@ def _lzf_decompress_py(data: bytes, expected_size: int) -> bytes:
         i += 1
         if ctrl < 32:  # literal run of ctrl+1 bytes
             run = ctrl + 1
+            if i + run > n or o + run > expected_size:
+                raise bad
             out[o:o + run] = data[i:i + run]
             i += run
             o += run
         else:  # back reference
             length = ctrl >> 5
             if length == 7:
+                if i >= n:
+                    raise bad
                 length += data[i]
                 i += 1
+            if i >= n:
+                raise bad
             ref = o - ((ctrl & 0x1F) << 8) - data[i] - 1
             i += 1
+            if ref < 0 or o + length + 2 > expected_size:
+                raise bad
             for _ in range(length + 2):
                 out[o] = out[ref]
                 o += 1
@@ -81,6 +93,10 @@ def _parse_header(f):
         meta[key] = rest.split()
         if key == "DATA":
             break
+    missing = [k for k in ("FIELDS", "SIZE", "TYPE", "POINTS")
+               if k not in meta]
+    if missing:
+        raise ValueError(f"malformed PCD header: missing {missing}")
     return meta
 
 
@@ -89,12 +105,21 @@ def _dtype_from_meta(meta) -> np.dtype:
     sizes = [int(s) for s in meta["SIZE"]]
     types = meta["TYPE"]
     counts = [int(c) for c in meta.get("COUNT", ["1"] * len(fields))]
+    if not (len(fields) == len(sizes) == len(types) == len(counts)):
+        raise ValueError(
+            f"malformed PCD header: FIELDS/SIZE/TYPE/COUNT lengths differ "
+            f"({len(fields)}/{len(sizes)}/{len(types)}/{len(counts)})")
     spec = []
     pad = 0
     for name, size, typ, cnt in zip(fields, sizes, types, counts):
         if name == "_":
             name, pad = f"_pad{pad}", pad + 1
-        base = _TYPE_MAP[(typ, size)]
+        try:
+            base = _TYPE_MAP[(typ, size)]
+        except KeyError:
+            raise ValueError(
+                f"unsupported PCD field type TYPE={typ!r} SIZE={size} "
+                f"for field {name!r}") from None
         spec.append((name, base, (cnt,)) if cnt > 1 else (name, base))
     return np.dtype(spec)
 
@@ -110,6 +135,13 @@ def read_pcd(path: str) -> np.ndarray:
         if mode == "ascii":
             body = f.read().decode("ascii")
             rows = np.loadtxt(body.splitlines(), dtype=np.float64, ndmin=2)
+            width = sum(
+                int(np.prod(dtype[name].shape)) if dtype[name].shape else 1
+                for name in dtype.names)
+            if rows.shape != (n, width):
+                raise ValueError(
+                    f"malformed ascii PCD body: expected ({n}, {width}) "
+                    f"values for POINTS {n}, got {rows.shape}")
             out = np.zeros(n, dtype=dtype)
             col = 0
             for name in dtype.names:
@@ -120,11 +152,33 @@ def read_pcd(path: str) -> np.ndarray:
                 col += w
             return out
         if mode == "binary":
-            return np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype,
-                                 count=n).copy()
+            buf = f.read(n * dtype.itemsize)
+            if len(buf) < n * dtype.itemsize:
+                raise ValueError(
+                    f"truncated binary PCD body: expected "
+                    f"{n * dtype.itemsize} bytes, got {len(buf)}")
+            return np.frombuffer(buf, dtype=dtype, count=n).copy()
         if mode == "binary_compressed":
-            comp_size, uncomp_size = np.frombuffer(f.read(8), dtype="u4")
-            raw = lzf_decompress(f.read(int(comp_size)), int(uncomp_size))
+            sizes = f.read(8)
+            if len(sizes) < 8:
+                raise ValueError("truncated binary_compressed PCD: missing "
+                                 "compressed/uncompressed size header")
+            comp_size, uncomp_size = np.frombuffer(sizes, dtype="u4")
+            if int(uncomp_size) != n * dtype.itemsize:
+                raise ValueError(
+                    f"binary_compressed PCD size mismatch: header declares "
+                    f"{int(uncomp_size)} uncompressed bytes, POINTS {n} x "
+                    f"itemsize {dtype.itemsize} = {n * dtype.itemsize}")
+            comp = f.read(int(comp_size))
+            if len(comp) < int(comp_size):
+                raise ValueError(
+                    f"truncated binary_compressed PCD body: expected "
+                    f"{int(comp_size)} bytes, got {len(comp)}")
+            raw = lzf_decompress(comp, int(uncomp_size))
+            if len(raw) != int(uncomp_size):
+                raise ValueError(
+                    f"corrupt binary_compressed PCD: LZF stream decoded to "
+                    f"{len(raw)} bytes, header declares {int(uncomp_size)}")
             # binary_compressed stores data column-major (field by field)
             out = np.zeros(n, dtype=dtype)
             off = 0

@@ -26,6 +26,90 @@ def test_lzf_backreference_decode():
     assert lzf_decompress(stream, 6) == b"abcabc"
 
 
+@pytest.mark.parametrize("decoder", ["dispatch", "python"])
+@pytest.mark.parametrize(
+    "stream, expected",
+    [
+        # back-reference before the start of the output
+        (bytes([2, 97, 98, 99, (1 << 5) | 0, 200]), 6),
+        # literal run truncated mid-stream
+        (bytes([31, 97, 98]), 32),
+        # output overflow: run longer than the declared size
+        (bytes([7, 97, 98, 99, 100, 101, 102, 103, 104]), 4),
+        # back-reference control byte with no offset byte
+        (bytes([2, 97, 98, 99, (1 << 5) | 0]), 6),
+    ],
+    ids=["bad-backref", "truncated-run", "overflow", "truncated-backref"],
+)
+def test_lzf_corrupt_stream_raises(decoder, stream, expected):
+    """Corrupt LZF streams raise a readable error from BOTH decoders
+    (native via the dispatch, and the pure-python fallback) instead of
+    wrapping indices / silently resizing the output buffer."""
+    from planar_optical_flow_tpu.data.pcd import _lzf_decompress_py
+
+    fn = (lzf_decompress if decoder == "dispatch"
+          else lambda s, n: _lzf_decompress_py(s, n))
+    with pytest.raises(ValueError, match="corrupt LZF"):
+        fn(stream, expected)
+
+
+def test_pcd_malformed_inputs(tmp_path, rng):
+    """Malformed PCD files fail with readable errors naming the defect."""
+    from planar_optical_flow_tpu.data import pcd
+
+    xyz = rng.uniform(-5, 5, (20, 3)).astype(np.float32)
+
+    def variant(name, mutate):
+        path = str(tmp_path / name)
+        write_pcd(path, xyz, mode="binary")
+        with open(path, "rb") as f:
+            blob = f.read()
+        with open(path, "wb") as f:
+            f.write(mutate(blob))
+        return path
+
+    # truncated binary body
+    p = variant("trunc.pcd", lambda b: b[:-8])
+    with pytest.raises(ValueError, match="truncated binary"):
+        pcd.read_pcd(p)
+
+    # header missing required keys
+    p2 = str(tmp_path / "nokeys.pcd")
+    with open(p2, "wb") as f:
+        f.write(b"VERSION 0.7\nPOINTS 4\nDATA ascii\n1 2 3\n")
+    with pytest.raises(ValueError, match="missing.*FIELDS"):
+        pcd.read_pcd(p2)
+
+    # unsupported field type
+    p3 = variant("badtype.pcd",
+                 lambda b: b.replace(b"TYPE F F F", b"TYPE Q F F"))
+    with pytest.raises(ValueError, match="unsupported PCD field type"):
+        pcd.read_pcd(p3)
+
+    # ascii body with the wrong number of values
+    p4 = str(tmp_path / "short.pcd")
+    write_pcd(p4, xyz, mode="ascii")
+    with open(p4, "a") as f:
+        f.write("1.0 2.0 3.0\n")  # one extra row vs POINTS
+    with pytest.raises(ValueError, match="malformed ascii"):
+        pcd.read_pcd(p4)
+
+    # compressed: declared uncompressed size disagrees with POINTS
+    p5 = str(tmp_path / "badsize.pcd")
+    write_pcd(p5, xyz, mode="binary_compressed")
+    with open(p5, "rb") as f:
+        blob = f.read()
+    header_end = blob.index(b"DATA binary_compressed\n") + len(
+        b"DATA binary_compressed\n")
+    sizes = np.frombuffer(blob[header_end:header_end + 8], "u4").copy()
+    sizes[1] += 4
+    with open(p5, "wb") as f:
+        f.write(blob[:header_end] + sizes.tobytes()
+                + blob[header_end + 8:])
+    with pytest.raises(ValueError, match="size mismatch"):
+        pcd.read_pcd(p5)
+
+
 @pytest.mark.parametrize("mode", ["ascii", "binary", "binary_compressed"])
 def test_pcd_roundtrip(tmp_path, rng, mode):
     xyz = rng.normal(size=(257, 3)).astype(np.float32)

@@ -252,3 +252,39 @@ def test_native_csv_genfromtxt_semantics(tmp_path):
     with open(p, "w") as f:
         f.write("1,abc,3\n")
     assert native.read_csv(p) is None
+
+
+def test_drow_io_malformed_files(tmp_path):
+    """Malformed DROW corpus files fail with errors naming the file and
+    the defect (the formats are spec-implemented; real corpora must fail
+    readably, not with raw numpy/json tracebacks)."""
+    from planar_optical_flow_tpu.data import drow_io
+
+    stem = str(tmp_path / "seq")
+
+    # scan CSV with too few columns
+    with open(stem + ".csv", "w") as f:
+        f.write("1,100.0\n2,100.1\n")
+    with pytest.raises(ValueError, match=r"malformed DROW file .*\.csv"):
+        drow_io.load_scan_file(stem)
+
+    # odometry with missing pose columns
+    with open(stem + ".odom2", "w") as f:
+        f.write("1,100.0,0.5\n")
+    with pytest.raises(ValueError, match=r"\.odom2"):
+        drow_io.load_odometry_file(stem)
+
+    # annotation line that is not 'seq_id,[[r, phi], ...]'
+    for ext, body in ((".wc", "3,[[1.0, 0.5]]\n4,not json\n"),
+                      (".wa", "3,[[1.0, 0.5]]\n4,[[2.0, 0.1]]\n"),
+                      (".wp", "3,[[1.0, 0.5]]\n4,[[2.0, 0.1]]\n")):
+        with open(stem + ext, "w") as f:
+            f.write(body)
+    with pytest.raises(ValueError, match=r"\.wc:2"):
+        drow_io.load_detection_file(stem)
+
+    # flow file whose value count is not a whole number of scans
+    with open(stem + ".flow", "w") as f:
+        f.write(",".join(["0.1"] * 7) + "\n")
+    with pytest.raises(ValueError, match="whole number of scans"):
+        drow_io.load_flow_file(stem, num_pts=4)
