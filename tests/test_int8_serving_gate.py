@@ -243,6 +243,113 @@ def test_int8c_ap_gate(tmp_path):
     assert abs(ap_int8 - ap_f32) < 0.05, (ap_int8, ap_f32)
 
 
+@pytest.mark.slow
+def test_int8c_flow_epe_gate(tmp_path):
+    """The flow analogue of the AP gate: masked EPE through the flagship
+    int8c serving pipeline stays within epsilon of the f32 module serve
+    path on a TRAINED flow head. The fast parity tests only check numeric
+    tolerance on untrained weights; a quantization regression that skews
+    the similarity features feeding the flow head could degrade flow
+    while detection AP stays intact — this pins it."""
+    import optax
+
+    from planar_optical_flow_tpu.data import (
+        write_synthetic_drow_split, DrowDetectionDataset, BatchLoader,
+    )
+    from planar_optical_flow_tpu.infer import StreamingRunner
+    from planar_optical_flow_tpu.models import get_model
+    from planar_optical_flow_tpu.ops.geometry import (
+        canonical_to_global_flow, get_laser_phi,
+    )
+    from planar_optical_flow_tpu.ops.losses import epe_loss
+    from planar_optical_flow_tpu.train import (
+        create_train_state, make_optimizer, tasks,
+    )
+
+    d = str(tmp_path)
+    write_synthetic_drow_split(d, "train", num_sequences=1, num_frames=40,
+                               num_people=3, seed=7)
+    ds = DrowDetectionDataset(d, "train", num_scans=2, pedestrian_only=True)
+    loader = BatchLoader(ds, batch_size=8, seed=0)
+
+    model = get_model({"type": "flow_drow", "window_size": 5,
+                       "pedestrian_only": True})
+    task = tasks.FlowDrowTask(cutout_kwargs=CUTOUT_KW, pedestrian_only=True)
+    tx = make_optimizer(
+        {"scheduler_kwargs": {"epoch0": 0, "lr0": 3e-3, "epoch1": 20,
+                              "lr1": 3e-3}},
+        steps_per_epoch=len(loader),
+    )
+    x = jnp.zeros((8, 450, 3, 16))  # num_scans=2 history + current
+    state = create_train_state(model, (x, jnp.zeros((8, 450))), tx,
+                               init_kwargs={"train": False})
+
+    @jax.jit
+    def step(state, batch, rng_key):
+        def loss_fn(params):
+            loss, tb, _, stats = task.loss(
+                state.apply_fn,
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, True, rng_key,
+            )
+            return loss, stats
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return state.apply_gradients(grads, stats), loss
+
+    # fixed eval batches (the loader reshuffles per epoch; the engines
+    # must be scored on identical frames)
+    n_eval = (len(ds) // 8) * 8
+    eval_batches = [ds.batch(np.arange(i, i + 8))
+                    for i in range(0, n_eval, 8)]
+
+    def mean_loss(st):
+        return float(np.mean([
+            float(task.loss(st.apply_fn, st.variables, b, False)[0])
+            for b in eval_batches
+        ]))
+
+    loss0 = mean_loss(state)
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        for batch in loader:
+            key, sk = jax.random.split(key)
+            state, _ = step(state, batch, sk)
+    loss1 = mean_loss(state)
+    assert loss1 < 0.9 * loss0, (loss0, loss1)  # the flow head learned
+
+    # serve-path EPE, both engines, same stepping: boot on scan 0, carry
+    # into scan 1, score the final frame's global-frame flow against the
+    # canonical targets rotated into the same frame
+    phi = jnp.asarray(get_laser_phi())
+    calib = ds.batch(np.arange(8))["scans"][:, -1]
+    runners = {
+        "module": StreamingRunner(model, state.variables, CUTOUT_KW,
+                                  engine="module"),
+        "int8c": StreamingRunner(model, state.variables, CUTOUT_KW,
+                                 engine="int8c", calib_scans=calib),
+    }
+    epes = {}
+    for name, runner in runners.items():
+        num, den = 0.0, 0
+        for batch in eval_batches:
+            runner.reset()
+            scans = np.asarray(batch["scans"])
+            for t in range(scans.shape[1]):
+                out = runner(scans[:, t])
+            target = canonical_to_global_flow(
+                jnp.asarray(batch["target_flow"]), phi)
+            mask = jnp.asarray(batch["exclude_mask"])
+            num += float(epe_loss(jnp.asarray(out["pred_flow"]), target,
+                                  mask)) * float(mask.sum())
+            den += float(mask.sum())
+        epes[name] = num / den
+    gap = abs(epes["int8c"] - epes["module"])
+    assert gap < 0.02 + 0.25 * epes["module"], epes
+
+
 def test_calibration_validation_rejects_stale():
     """A restored calibration is validated against the serving geometry
     and a weights fingerprint — a stale calibration.json (wrong config or
