@@ -50,6 +50,11 @@ def main(argv=None):
                              "the fused bf16 'v3'; 'int8c' flagship int8 "
                              "(calibrated from the checkpoint dir or the "
                              "eval scans), 'module' f32-exact")
+    parser.add_argument("--serve-flow", action="store_true",
+                        help="also score flow EPE/AAE through the serving "
+                             "engine selected by --engine (flow_drow "
+                             "models; the module-path EPE above scores "
+                             "the training forward)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -93,6 +98,22 @@ def main(argv=None):
         )
         print({k: round(v, 6) if isinstance(v, float) else v
                for k, v in ap.items()})
+
+    if args.serve_flow:
+        if cfg["model"]["type"] != "flow_drow":
+            parser.error("--serve-flow needs a flow-headed model "
+                         f"(flow_drow), not {cfg['model']['type']!r}")
+        from planar_optical_flow_tpu.eval import evaluate_flow_serving
+
+        engine, calib = _resolve_ap_engine(args.engine, args.ckpt)
+        flow = evaluate_flow_serving(
+            pipeline.model, pipeline.state.variables,
+            cfg["dataset"].get("cutout_kwargs", {}),
+            pipeline.val_set or pipeline.train_set,
+            engine=engine, calib=calib,
+        )
+        print({("serve_" + k): round(v, 6) if isinstance(v, float) else v
+               for k, v in flow.items()})
     return 0
 
 

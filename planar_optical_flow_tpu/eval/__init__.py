@@ -10,6 +10,7 @@ from planar_optical_flow_tpu.eval.detection_ap import (  # noqa: F401
 )
 from planar_optical_flow_tpu.eval.evaluator import (  # noqa: F401
     evaluate_flow,
+    evaluate_flow_serving,
     evaluate_detection_ap,
     evaluate_detection_ap_batched,
     DetectionEvalFrames,

@@ -41,6 +41,69 @@ def evaluate_flow(task, state, loader, collect_outputs: bool = False):
     return (result, outs) if collect_outputs else result
 
 
+def evaluate_flow_serving(model, variables, cutout_kwargs, frames,
+                          engine: str = "module", calib=None,
+                          calib_scans=None, num_pts: int = 450,
+                          batch_streams: int = 8):
+    """Flow EPE/AAE through a SERVING engine (module / v3 / int8c).
+
+    The module-path :func:`evaluate_flow` scores the training forward;
+    this scores what a serving deployment actually emits: each frame's
+    scan stack is stepped through a :class:`StreamingRunner` (bootstrap
+    on scan 0, template carried into the rest) and the final global-frame
+    ``pred_flow`` is compared to the dataset's canonical targets rotated
+    into the same frame (EPE is rotation-invariant, so the number is
+    directly comparable to the module metric). This is the CLI face of
+    the trained-flow EPE gate (``tests/test_int8_serving_gate.py``).
+
+    ``frames``: a dataset with ``len()`` and ``.batch(indices)`` emitting
+    ``scans (B, S, P)``, ``target_flow (B, P, 2)`` (canonical), and
+    ``exclude_mask (B, P)`` — e.g. ``DrowDetectionDataset``. The frame
+    count is trimmed to a multiple of ``batch_streams``.
+    """
+    import jax.numpy as jnp
+
+    from planar_optical_flow_tpu.infer.streaming import StreamingRunner
+    from planar_optical_flow_tpu.ops.geometry import (
+        canonical_to_global_flow, get_laser_phi,
+    )
+
+    n_eval = (len(frames) // batch_streams) * batch_streams
+    if n_eval == 0:
+        raise ValueError(
+            f"{len(frames)} frames < batch_streams={batch_streams}")
+    if calib_scans is None and engine == "int8c" and calib is None:
+        calib_scans = np.asarray(
+            frames.batch(np.arange(batch_streams))["scans"][:, -1])
+    runner = StreamingRunner(model, variables, cutout_kwargs,
+                             num_pts=num_pts, engine=engine, calib=calib,
+                             calib_scans=calib_scans)
+    phi = jnp.asarray(get_laser_phi(num_pts=num_pts))
+    epe_sum, ang_sum, n_pts = 0.0, 0.0, 0
+    for i in range(0, n_eval, batch_streams):
+        batch = frames.batch(np.arange(i, i + batch_streams))
+        runner.reset()
+        scans = np.asarray(batch["scans"], np.float32)
+        for t in range(scans.shape[1]):
+            out = runner(scans[:, t])
+        pred = np.asarray(out["pred_flow"], np.float32)
+        target = np.asarray(canonical_to_global_flow(
+            jnp.asarray(batch["target_flow"]), phi), np.float32)
+        mask = np.asarray(batch["exclude_mask"]).astype(bool)
+        err = np.linalg.norm(pred - target, axis=-1)
+        # wrapped angular error (degrees), reference metric semantics
+        # (eval_utils.py:129-134) with the branch-cut fix
+        dang = (np.arctan2(pred[..., 0], pred[..., 1])
+                - np.arctan2(target[..., 0], target[..., 1]))
+        dang = np.abs((dang + np.pi) % (2 * np.pi) - np.pi)
+        epe_sum += float(err[mask].sum())
+        ang_sum += float(np.degrees(dang[mask]).sum())
+        n_pts += int(mask.sum())
+    return {"epe": epe_sum / max(n_pts, 1),
+            "aae": ang_sum / max(n_pts, 1),
+            "num_frames": n_eval, "engine": engine}
+
+
 class DetectionEvalFrames:
     """Formal input protocol for detection-AP evaluation: an ordered frame
     sequence plus ground-truth person centers per frame.

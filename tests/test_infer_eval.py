@@ -294,3 +294,30 @@ def test_infer_cli_replay(tmp_path, rng):
                              str(seq), "--replay", "--engine", engine,
                              "--cpu"])
         assert rc in (0, None), engine
+
+
+def test_evaluate_flow_serving_with_synthetic(tmp_path, rng):
+    """Serve-path flow eval (the bin/evaluate.py --serve-flow face):
+    masked EPE/AAE through a StreamingRunner on dataset frames, with the
+    frame count trimmed to whole stream batches."""
+    from planar_optical_flow_tpu.data import (
+        write_synthetic_drow_split, DrowDetectionDataset,
+    )
+    from planar_optical_flow_tpu.eval import evaluate_flow_serving
+    from planar_optical_flow_tpu.models import FlowDrow
+
+    d = str(tmp_path)
+    write_synthetic_drow_split(d, "train", num_sequences=1, num_frames=14)
+    ds = DrowDetectionDataset(d, "train", num_scans=2, pedestrian_only=True)
+
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((1, 450, 1, 16))
+    variables = model.init(KEY, x, jnp.zeros((1, 450)), train=False)
+    out = evaluate_flow_serving(model, variables, CUTOUT_KW, ds,
+                                engine="module", batch_streams=4)
+    assert np.isfinite(out["epe"]) and out["epe"] >= 0.0
+    assert 0.0 <= out["aae"] <= 180.0
+    assert out["num_frames"] == (len(ds) // 4) * 4
+    with pytest.raises(ValueError, match="frames"):
+        evaluate_flow_serving(model, variables, CUTOUT_KW, ds,
+                              engine="module", batch_streams=1024)

@@ -256,12 +256,8 @@ def test_int8c_flow_epe_gate(tmp_path):
     from planar_optical_flow_tpu.data import (
         write_synthetic_drow_split, DrowDetectionDataset, BatchLoader,
     )
-    from planar_optical_flow_tpu.infer import StreamingRunner
+    from planar_optical_flow_tpu.eval import evaluate_flow_serving
     from planar_optical_flow_tpu.models import get_model
-    from planar_optical_flow_tpu.ops.geometry import (
-        canonical_to_global_flow, get_laser_phi,
-    )
-    from planar_optical_flow_tpu.ops.losses import epe_loss
     from planar_optical_flow_tpu.train import (
         create_train_state, make_optimizer, tasks,
     )
@@ -320,34 +316,18 @@ def test_int8c_flow_epe_gate(tmp_path):
     loss1 = mean_loss(state)
     assert loss1 < 0.9 * loss0, (loss0, loss1)  # the flow head learned
 
-    # serve-path EPE, both engines, same stepping: boot on scan 0, carry
-    # into scan 1, score the final frame's global-frame flow against the
-    # canonical targets rotated into the same frame
-    phi = jnp.asarray(get_laser_phi())
-    calib = ds.batch(np.arange(8))["scans"][:, -1]
-    runners = {
-        "module": StreamingRunner(model, state.variables, CUTOUT_KW,
-                                  engine="module"),
-        "int8c": StreamingRunner(model, state.variables, CUTOUT_KW,
-                                 engine="int8c", calib_scans=calib),
+    # serve-path EPE, both engines, same frames (bootstrap on scan 0,
+    # template carried into the rest; global-frame flow scored against
+    # rotated canonical targets — all inside evaluate_flow_serving, the
+    # same function bin/evaluate.py --serve-flow calls)
+    epes = {
+        name: evaluate_flow_serving(
+            model, state.variables, CUTOUT_KW, ds, engine=name,
+            calib_scans=ds.batch(np.arange(8))["scans"][:, -1])
+        for name in ("module", "int8c")
     }
-    epes = {}
-    for name, runner in runners.items():
-        num, den = 0.0, 0
-        for batch in eval_batches:
-            runner.reset()
-            scans = np.asarray(batch["scans"])
-            for t in range(scans.shape[1]):
-                out = runner(scans[:, t])
-            target = canonical_to_global_flow(
-                jnp.asarray(batch["target_flow"]), phi)
-            mask = jnp.asarray(batch["exclude_mask"])
-            num += float(epe_loss(jnp.asarray(out["pred_flow"]), target,
-                                  mask)) * float(mask.sum())
-            den += float(mask.sum())
-        epes[name] = num / den
-    gap = abs(epes["int8c"] - epes["module"])
-    assert gap < 0.02 + 0.25 * epes["module"], epes
+    gap = abs(epes["int8c"]["epe"] - epes["module"]["epe"])
+    assert gap < 0.02 + 0.25 * epes["module"]["epe"], epes
 
 
 def test_calibration_validation_rejects_stale():
