@@ -1,0 +1,117 @@
+"""Calibration-quality sweep for the int8c serving path (real TPU).
+
+The round-3 gate reruns showed the int8c AP sitting ~0.01 under the
+f32-carry int8 path on fresh seeds — the template requantization is the
+suspect. This probe trains ONE detector (same recipe as
+``validate_int8_ap.py``) and scores detection AP through the int8c
+pipeline under calibration variants:
+
+* abs-max scales (shipping default),
+* abs-percentile clipping (99.9 / 99.95) — rare activation spikes inflate
+  abs-max scales and waste int8 resolution on the bulk,
+* longer template calibration (``calib_steps=6``) — the carry is a running
+  blend whose range settles over a few steps.
+
+All int8c variants share one compiled program (scales fold into the
+weight arrays, shapes unchanged), so the sweep costs one compile.
+
+Usage: PYTHONPATH=/root/repo python experiments/probe_calib_quality.py
+"""
+import json
+import os
+import sys
+
+os.environ.setdefault("EPOCHS", "3")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax.numpy as jnp
+
+from validate_int8_ap import CUTOUT_KW, ap_from_step  # noqa: E402
+from planar_optical_flow_tpu.infer.streaming import (  # noqa: E402
+    make_stream_step, make_serve_step_v3,
+)
+
+
+def main():
+    # one trained detector + eval frames, via the gate script's recipe
+    import tempfile
+    from planar_optical_flow_tpu.data import (
+        write_synthetic_drow_split, DrowDetectionDataset, BatchLoader,
+    )
+    from planar_optical_flow_tpu.models import get_model
+    from planar_optical_flow_tpu.train import (
+        create_train_state, make_optimizer, tasks,
+    )
+    from planar_optical_flow_tpu.eval import DetectionEvalFrames
+    import jax
+
+    seed = int(os.environ.get("SEED", "13"))
+    d = tempfile.mkdtemp()
+    write_synthetic_drow_split(d, "train", num_sequences=2, num_frames=120,
+                               num_people=3, seed=seed)
+    ds = DrowDetectionDataset(d, "train", num_scans=2, pedestrian_only=True)
+    loader = BatchLoader(ds, batch_size=8, seed=0)
+    model = get_model({"type": "dr-spaam", "window_size": 11,
+                       "pedestrian_only": True})
+    task = tasks.DetectionTask(cutout_kwargs=CUTOUT_KW, pedestrian_only=True)
+    tx = make_optimizer(
+        {"scheduler_kwargs": {"epoch0": 0, "lr0": 1e-3, "epoch1": 20,
+                              "lr1": 1e-3}},
+        steps_per_epoch=len(loader),
+    )
+    x = jnp.zeros((8, 450, 3, 56))
+    state = create_train_state(model, (x,), tx, init_kwargs={"train": False})
+
+    @jax.jit
+    def train_step(state, batch, rng_key):
+        def loss_fn(params):
+            loss, tb, _, stats = task.loss(
+                state.apply_fn,
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, True, rng_key,
+            )
+            return loss, stats
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        return state.apply_gradients(grads, stats), loss
+
+    key = jax.random.PRNGKey(0)
+    for epoch in range(int(os.environ["EPOCHS"])):
+        last = None
+        for batch in loader:
+            key, sk = jax.random.split(key)
+            state, loss = train_step(state, batch, sk)
+            last = float(loss)
+        print(f"epoch {epoch}: loss {last:.4f}", flush=True)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    frames = DetectionEvalFrames.from_dataset(ds)
+    calib = frames.scans[:8]
+
+    ref = make_stream_step(model, CUTOUT_KW, with_nms=True,
+                           donate_template=False)
+    ap_f32 = ap_from_step(ref, True, variables, frames)
+    print(json.dumps({"variant": "f32 module", "ap": round(ap_f32, 4)}),
+          flush=True)
+
+    variants = [
+        ("int8 absmax (f32 carry)", dict(precision="int8")),
+        ("int8c absmax steps=2 (shipping)", dict(precision="int8c")),
+        ("int8c p=99.9", dict(precision="int8c", calib_percentile=99.9)),
+        ("int8c p=99.95", dict(precision="int8c", calib_percentile=99.95)),
+        ("int8c steps=6", dict(precision="int8c", calib_steps=6)),
+        ("int8c p=99.9 steps=6",
+         dict(precision="int8c", calib_percentile=99.9, calib_steps=6)),
+    ]
+    for name, kw in variants:
+        step = make_serve_step_v3(model, variables, CUTOUT_KW,
+                                  calib_scans=calib, tile=128, **kw)
+        ap = ap_from_step(step, False, variables, frames)
+        print(json.dumps({"variant": name, "ap": round(ap, 4),
+                          "delta_vs_f32": round(ap - ap_f32, 4)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -441,6 +441,8 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                        gate_per_stream: bool = True,
                        p2_l1_mode: str = "mm",
                        fuse_gate_head: bool = False,
+                       calib_percentile: float | None = None,
+                       calib_steps: int = 2,
                        interpret: bool = False):
     """Flat-layout fused serving step (fastest path, see BASELINE.md).
 
@@ -460,6 +462,14 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     calibration, or ``calib`` (an ``infer.calibration.ServeCalibration``,
     e.g. restored from a checkpoint directory). The calibration in effect
     is exposed as ``step.calibration`` for persisting.
+    ``calib_percentile`` clips activation calibration at that
+    abs-percentile instead of the exact abs-max (outlier-robust — rare
+    spikes otherwise waste int8 resolution on the bulk); ``calib_steps``
+    is how many f32 reference steps feed the template-carry calibration
+    (the template is an attention-gated running blend, so its range is
+    only representative after a few steps). Both only matter when scales
+    are computed here (``calib_scans``); a restored ``calib`` carries its
+    scales verbatim.
 
     Returns ``step(carry, scan) -> (carry', outputs)``; carry is
     ``{"template": (N, D) bf16, "z": (N, 128)}``.
@@ -641,18 +651,27 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
             ))
             bb_in_scale, bb_act_scales = cs.stack_act_scales(
                 bb_blocks[1:], act1_c.reshape(n0, ct_len, 64)[:4096],
-                pool_after={1, 4},
+                pool_after={1, 4}, percentile=calib_percentile,
             )
             # head calibration on a realistic (post-gate) template: run
-            # two f32 reference steps
+            # ``calib_steps`` f32 reference steps and calibrate on the
+            # last two templates (the carry is a running blend whose
+            # range settles over a few steps)
             ref_step = make_stream_step(model, cutout_kwargs, num_pts,
                                         with_nms=False,
                                         donate_template=False)
-            tmpl, _ = ref_step(variables, None, calib_j)
-            tmpl, _ = ref_step(variables, tmpl, calib_j)
-            tmpl_np = np.asarray(tmpl, np.float32).reshape(-1, l4, 256)
+            tmpl, tmpls = None, []
+            for _ in range(max(int(calib_steps), 1)):
+                tmpl, _ = ref_step(variables, None if tmpl is None
+                                   else tmpl, calib_j)
+                tmpls.append(tmpl)
+            tmpl_np = np.concatenate([
+                np.asarray(t, np.float32).reshape(-1, l4, 256)
+                for t in tmpls[-2:]
+            ])
             hd_in_scale, hd_act_scales = cs.stack_act_scales(
                 hd_blocks, tmpl_np[:4096], pool_after={2},
+                percentile=calib_percentile,
             )
             calib = ServeCalibration(
                 bb_in_scale=float(bb_in_scale),

@@ -370,18 +370,21 @@ def fused_head_v2(feats_flat, conv_weights, head_weights,
 # ---------------------------------------------------------------------------
 
 
-def stack_act_scales(block_param_list, sample, pool_after, in_scale=None):
+def stack_act_scales(block_param_list, sample, pool_after, in_scale=None,
+                     percentile=None):
     """Calibrate a conv stack: representative f32 ``sample`` (N, L, Cin) ->
     (in_scale, per-layer activation scales). The scales are plain floats —
     persist them (see ``infer/calibration.py``) to rebuild the int8 kernels
-    without re-running calibration data."""
+    without re-running calibration data. ``percentile`` clips calibration
+    at that abs-percentile instead of the exact abs-max (outlier-robust;
+    see ``quantized_drow.calibrate``)."""
     from planar_optical_flow_tpu.ops import quantized_drow as qd
 
     sample = np.asarray(sample, np.float32)
     if in_scale is None:
-        in_scale = max(float(np.abs(sample).max()), 1e-6) / 127.0
+        in_scale = qd._amax_scale(sample, percentile)
     return qd.calibrate(block_param_list, set(pool_after), sample,
-                        in_scale=in_scale)
+                        in_scale=in_scale, percentile=percentile)
 
 
 def quantize_stack_int8(block_param_list, sample, l0, pool_after,

@@ -56,14 +56,31 @@ def _f32_reference_chain(x, layers, pools):
     return acts
 
 
-def calibrate(layers, pools, sample, in_scale=None):
+def _amax_scale(a, percentile=None):
+    """abs-max (or abs-percentile, for outlier-robust clipping) -> int8
+    scale. ``percentile`` in (0, 100]; None means exact abs-max."""
+    a = np.abs(np.asarray(a, np.float32))
+    if percentile is None or percentile >= 100.0:
+        m = float(a.max())
+    else:
+        m = float(np.percentile(a, percentile))
+    return max(m, 1e-6) / _QMAX
+
+
+def calibrate(layers, pools, sample, in_scale=None, percentile=None):
     """Per-layer activation scales from a representative f32 sample
-    ``(T, L, Cin)``. Returns (in_scale, act_scales list)."""
+    ``(T, L, Cin)``. Returns (in_scale, act_scales list).
+
+    ``percentile``: clip calibration at the given abs-percentile instead
+    of the exact abs-max — rare activation spikes otherwise inflate the
+    scale and waste int8 resolution on the bulk of the distribution
+    (values above the clip saturate at ±127, which the int8 kernels
+    already do)."""
     sample = np.asarray(sample, np.float32)
     if in_scale is None:
-        in_scale = max(float(np.abs(sample).max()), 1e-6) / _QMAX
+        in_scale = _amax_scale(sample, percentile)
     acts = _f32_reference_chain(sample, layers, pools)
-    scales = [max(float(np.abs(a).max()), 1e-6) / _QMAX for a in acts]
+    scales = [_amax_scale(a, percentile) for a in acts]
     return float(in_scale), scales
 
 

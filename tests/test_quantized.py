@@ -71,3 +71,30 @@ def test_quantized_stream_step_runs(rng):
     tr, o_ref = ref(v, tr, jnp.asarray(scans))
     d = np.abs(np.asarray(out["pred_cls"]) - np.asarray(o_ref["pred_cls"]))
     assert d.mean() < 0.05
+
+
+def test_calibrate_percentile_clips_outliers(rng):
+    """Percentile calibration: scales shrink vs abs-max when the sample has
+    rare spikes, quantization of the bulk gets finer, and p=100 degrades to
+    exact abs-max."""
+    w = rng.normal(size=(3, 8, 8)).astype(np.float32) * 0.2
+    b = np.zeros(8, np.float32)
+    layers = [(w, b), (w, b)]
+    x = rng.normal(size=(4, 16, 8)).astype(np.float32)
+    x[0, 0, 0] = 500.0  # one spike, ~1e-4 of the sample
+
+    s_in_max, s_max = qd.calibrate(layers, set(), x)
+    s_in_p, s_p = qd.calibrate(layers, set(), x, percentile=99.9)
+    s_in_100, s_100 = qd.calibrate(layers, set(), x, percentile=100.0)
+
+    assert s_in_p < s_in_max  # the spike no longer sets the input scale
+    assert all(a <= b + 1e-12 for a, b in zip(s_p, s_max))
+    assert s_in_100 == s_in_max and s_100 == s_max
+
+    # finer input resolution for the bulk: quantize/dequantize error on the
+    # non-spike values drops with the clipped scale
+    bulk = x.ravel()[1:]
+    def rt_err(scale):
+        q = np.clip(np.rint(bulk / scale), -127, 127)
+        return np.abs(q * scale - bulk).mean()
+    assert rt_err(s_in_p) < rt_err(s_in_max)
