@@ -69,6 +69,10 @@ def main(argv=None):
     cfg = load_config(args.cfg, tag=args.tag)
     cfg = normalize_config(cfg)
 
+    if args.serve_flow and cfg["model"]["type"] != "flow_drow":
+        parser.error("--serve-flow needs a flow-headed model "
+                     f"(flow_drow), not {cfg['model']['type']!r}")
+
     synthetic_dir = None
     if args.synthetic:
         from bin.train import _make_synthetic
@@ -83,13 +87,17 @@ def main(argv=None):
     metrics = pipeline.evaluate(tb_prefix=args.split.upper())
     print({k: round(v, 6) for k, v in metrics.items()})
 
-    if args.ap and cfg["model"]["type"] in ("dr-spaam", "spatial_drow",
-                                            "flow_drow", "drow"):
-        from planar_optical_flow_tpu.eval import evaluate_detection_ap_batched
-
+    # one resolution shared by --ap and --serve-flow (avoids resolving —
+    # and printing — the engine choice twice)
+    engine = calib = None
+    if args.ap or args.serve_flow:
         engine, calib = _resolve_ap_engine(args.engine, args.ckpt)
         if args.engine == "auto":
             print({"ap_engine": engine})
+
+    if args.ap and cfg["model"]["type"] in ("dr-spaam", "spatial_drow",
+                                            "flow_drow", "drow"):
+        from planar_optical_flow_tpu.eval import evaluate_detection_ap_batched
         ds = pipeline.val_set or pipeline.train_set
         ap = evaluate_detection_ap_batched(
             pipeline.model, pipeline.state.variables,
@@ -100,12 +108,8 @@ def main(argv=None):
                for k, v in ap.items()})
 
     if args.serve_flow:
-        if cfg["model"]["type"] != "flow_drow":
-            parser.error("--serve-flow needs a flow-headed model "
-                         f"(flow_drow), not {cfg['model']['type']!r}")
         from planar_optical_flow_tpu.eval import evaluate_flow_serving
 
-        engine, calib = _resolve_ap_engine(args.engine, args.ckpt)
         flow = evaluate_flow_serving(
             pipeline.model, pipeline.state.variables,
             cfg["dataset"].get("cutout_kwargs", {}),

@@ -24,9 +24,9 @@ import sys
 os.environ.setdefault("EPOCHS", "3")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax.numpy as jnp
-
-from validate_int8_ap import CUTOUT_KW, ap_from_step  # noqa: E402
+from validate_int8_ap import (  # noqa: E402
+    CUTOUT_KW, ap_from_step, train_small_detector,
+)
 from planar_optical_flow_tpu.infer.streaming import (  # noqa: E402
     make_stream_step, make_serve_step_v3,
 )
@@ -34,59 +34,8 @@ from planar_optical_flow_tpu.infer.streaming import (  # noqa: E402
 
 def main():
     # one trained detector + eval frames, via the gate script's recipe
-    import tempfile
-    from planar_optical_flow_tpu.data import (
-        write_synthetic_drow_split, DrowDetectionDataset, BatchLoader,
-    )
-    from planar_optical_flow_tpu.models import get_model
-    from planar_optical_flow_tpu.train import (
-        create_train_state, make_optimizer, tasks,
-    )
-    from planar_optical_flow_tpu.eval import DetectionEvalFrames
-    import jax
-
     seed = int(os.environ.get("SEED", "13"))
-    d = tempfile.mkdtemp()
-    write_synthetic_drow_split(d, "train", num_sequences=2, num_frames=120,
-                               num_people=3, seed=seed)
-    ds = DrowDetectionDataset(d, "train", num_scans=2, pedestrian_only=True)
-    loader = BatchLoader(ds, batch_size=8, seed=0)
-    model = get_model({"type": "dr-spaam", "window_size": 11,
-                       "pedestrian_only": True})
-    task = tasks.DetectionTask(cutout_kwargs=CUTOUT_KW, pedestrian_only=True)
-    tx = make_optimizer(
-        {"scheduler_kwargs": {"epoch0": 0, "lr0": 1e-3, "epoch1": 20,
-                              "lr1": 1e-3}},
-        steps_per_epoch=len(loader),
-    )
-    x = jnp.zeros((8, 450, 3, 56))
-    state = create_train_state(model, (x,), tx, init_kwargs={"train": False})
-
-    @jax.jit
-    def train_step(state, batch, rng_key):
-        def loss_fn(params):
-            loss, tb, _, stats = task.loss(
-                state.apply_fn,
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, True, rng_key,
-            )
-            return loss, stats
-
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        return state.apply_gradients(grads, stats), loss
-
-    key = jax.random.PRNGKey(0)
-    for epoch in range(int(os.environ["EPOCHS"])):
-        last = None
-        for batch in loader:
-            key, sk = jax.random.split(key)
-            state, loss = train_step(state, batch, sk)
-            last = float(loss)
-        print(f"epoch {epoch}: loss {last:.4f}", flush=True)
-
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    frames = DetectionEvalFrames.from_dataset(ds)
+    model, variables, frames = train_small_detector(seed=seed)
     calib = frames.scans[:8]
 
     ref = make_stream_step(model, CUTOUT_KW, with_nms=True,

@@ -70,10 +70,14 @@ def ap_from_step(step, takes_variables, variables, frames, conf=0.3,
     return detection_ap.average_precision(pr, rc)
 
 
-def main():
+def train_small_detector(seed=7, epochs=None):
+    """Train a quick DR-SPAAM on synthetic DROW data (the bin/demo.py
+    stage-1 recipe — also used by ``probe_calib_quality.py``). Returns
+    ``(model, variables, frames)`` with frames a ``DetectionEvalFrames``
+    over the training sequences."""
     d = tempfile.mkdtemp()
     write_synthetic_drow_split(d, "train", num_sequences=2, num_frames=120,
-                               num_people=3, seed=7)
+                               num_people=3, seed=seed)
     ds = DrowDetectionDataset(d, "train", num_scans=2, pedestrian_only=True)
     loader = BatchLoader(ds, batch_size=8, seed=0)
 
@@ -103,7 +107,9 @@ def main():
         return state.apply_gradients(grads, stats), loss
 
     key = jax.random.PRNGKey(0)
-    for epoch in range(int(os.environ.get("EPOCHS", "3"))):
+    if epochs is None:
+        epochs = int(os.environ.get("EPOCHS", "3"))
+    for epoch in range(epochs):
         last = None
         for batch in loader:
             key, sk = jax.random.split(key)
@@ -113,6 +119,11 @@ def main():
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     frames = DetectionEvalFrames.from_dataset(ds)
+    return model, variables, frames
+
+
+def main():
+    model, variables, frames = train_small_detector()
 
     ref = make_stream_step(model, CUTOUT_KW, with_nms=True,
                            donate_template=False)

@@ -59,7 +59,10 @@ def evaluate_flow_serving(model, variables, cutout_kwargs, frames,
     ``frames``: a dataset with ``len()`` and ``.batch(indices)`` emitting
     ``scans (B, S, P)``, ``target_flow (B, P, 2)`` (canonical), and
     ``exclude_mask (B, P)`` — e.g. ``DrowDetectionDataset``. The frame
-    count is trimmed to a multiple of ``batch_streams``.
+    count is trimmed to a multiple of ``batch_streams``. Flip
+    augmentation is suspended for the duration (eval must be
+    deterministic and the calibration scans must match the scored
+    frames).
     """
     import jax.numpy as jnp
 
@@ -72,33 +75,41 @@ def evaluate_flow_serving(model, variables, cutout_kwargs, frames,
     if n_eval == 0:
         raise ValueError(
             f"{len(frames)} frames < batch_streams={batch_streams}")
-    if calib_scans is None and engine == "int8c" and calib is None:
-        calib_scans = np.asarray(
-            frames.batch(np.arange(batch_streams))["scans"][:, -1])
-    runner = StreamingRunner(model, variables, cutout_kwargs,
-                             num_pts=num_pts, engine=engine, calib=calib,
-                             calib_scans=calib_scans)
-    phi = jnp.asarray(get_laser_phi(num_pts=num_pts))
-    epe_sum, ang_sum, n_pts = 0.0, 0.0, 0
-    for i in range(0, n_eval, batch_streams):
-        batch = frames.batch(np.arange(i, i + batch_streams))
-        runner.reset()
-        scans = np.asarray(batch["scans"], np.float32)
-        for t in range(scans.shape[1]):
-            out = runner(scans[:, t])
-        pred = np.asarray(out["pred_flow"], np.float32)
-        target = np.asarray(canonical_to_global_flow(
-            jnp.asarray(batch["target_flow"]), phi), np.float32)
-        mask = np.asarray(batch["exclude_mask"]).astype(bool)
-        err = np.linalg.norm(pred - target, axis=-1)
-        # wrapped angular error (degrees), reference metric semantics
-        # (eval_utils.py:129-134) with the branch-cut fix
-        dang = (np.arctan2(pred[..., 0], pred[..., 1])
-                - np.arctan2(target[..., 0], target[..., 1]))
-        dang = np.abs((dang + np.pi) % (2 * np.pi) - np.pi)
-        epe_sum += float(err[mask].sum())
-        ang_sum += float(np.degrees(dang[mask]).sum())
-        n_pts += int(mask.sum())
+    was_aug = getattr(frames, "use_augmentation", False)
+    frames.use_augmentation = False
+    try:
+        if calib_scans is None and engine == "int8c" and calib is None:
+            calib_scans = np.asarray(
+                frames.batch(np.arange(batch_streams))["scans"][:, -1])
+        # NMS outputs are never read here — pred_flow comes from the
+        # epilogue regardless, so skip the per-step vote NMS entirely
+        runner = StreamingRunner(model, variables, cutout_kwargs,
+                                 num_pts=num_pts, with_nms=False,
+                                 engine=engine, calib=calib,
+                                 calib_scans=calib_scans)
+        phi = jnp.asarray(get_laser_phi(num_pts=num_pts))
+        epe_sum, ang_sum, n_pts = 0.0, 0.0, 0
+        for i in range(0, n_eval, batch_streams):
+            batch = frames.batch(np.arange(i, i + batch_streams))
+            runner.reset()
+            scans = np.asarray(batch["scans"], np.float32)
+            for t in range(scans.shape[1]):
+                out = runner(scans[:, t])
+            pred = np.asarray(out["pred_flow"], np.float32)
+            target = np.asarray(canonical_to_global_flow(
+                jnp.asarray(batch["target_flow"]), phi), np.float32)
+            mask = np.asarray(batch["exclude_mask"]).astype(bool)
+            err = np.linalg.norm(pred - target, axis=-1)
+            # wrapped angular error (degrees), reference metric semantics
+            # (eval_utils.py:129-134) with the branch-cut fix
+            dang = (np.arctan2(pred[..., 0], pred[..., 1])
+                    - np.arctan2(target[..., 0], target[..., 1]))
+            dang = np.abs((dang + np.pi) % (2 * np.pi) - np.pi)
+            epe_sum += float(err[mask].sum())
+            ang_sum += float(np.degrees(dang[mask]).sum())
+            n_pts += int(mask.sum())
+    finally:
+        frames.use_augmentation = was_aug
     return {"epe": epe_sum / max(n_pts, 1),
             "aae": ang_sum / max(n_pts, 1),
             "num_frames": n_eval, "engine": engine}

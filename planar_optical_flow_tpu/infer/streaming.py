@@ -665,9 +665,11 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                 tmpl, _ = ref_step(variables, None if tmpl is None
                                    else tmpl, calib_j)
                 tmpls.append(tmpl)
+            # newest template first: the [:4096] row cap below must keep
+            # the SETTLED carry range, topping up with the previous step
             tmpl_np = np.concatenate([
                 np.asarray(t, np.float32).reshape(-1, l4, 256)
-                for t in tmpls[-2:]
+                for t in reversed(tmpls[-2:])
             ])
             hd_in_scale, hd_act_scales = cs.stack_act_scales(
                 hd_blocks, tmpl_np[:4096], pool_after={2},

@@ -59,6 +59,9 @@ def _f32_reference_chain(x, layers, pools):
 def _amax_scale(a, percentile=None):
     """abs-max (or abs-percentile, for outlier-robust clipping) -> int8
     scale. ``percentile`` in (0, 100]; None means exact abs-max."""
+    if percentile is not None and not 0.0 < percentile <= 100.0:
+        raise ValueError(
+            f"calib percentile must be in (0, 100], got {percentile}")
     a = np.abs(np.asarray(a, np.float32))
     if percentile is None or percentile >= 100.0:
         m = float(a.max())

@@ -263,6 +263,21 @@ def test_evaluate_cli_auto_engine_resolution(tmp_path):
     assert (engine, calib) == ("module", None)
 
 
+def test_evaluate_cli_serve_flow_rejects_flowless_model(tmp_path):
+    """--serve-flow on a non-flow model is an argparse error raised from
+    the config alone — before any dataset or model is built."""
+    import yaml
+
+    import bin.evaluate as evaluate_cli
+
+    cfg = {"model": {"type": "dr-spaam", "kwargs": {}},
+           "dataset": {}, "pipeline": {}}
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(SystemExit):
+        evaluate_cli.main(["--cfg", str(cfg_path), "--serve-flow", "--cpu"])
+
+
 def test_infer_cli_replay(tmp_path, rng):
     """``bin/infer.py --replay``: chunked deferred readback (a window of
     steps in flight, one stacked transfer per window); smoke both the
@@ -313,11 +328,19 @@ def test_evaluate_flow_serving_with_synthetic(tmp_path, rng):
     model = FlowDrow(window_size=5, pedestrian_only=True)
     x = jnp.zeros((1, 450, 1, 16))
     variables = model.init(KEY, x, jnp.zeros((1, 450)), train=False)
+    # flip augmentation must be suspended during eval (deterministic
+    # scoring; calibration scans match the scored frames) and restored
+    ds.use_augmentation = True
     out = evaluate_flow_serving(model, variables, CUTOUT_KW, ds,
                                 engine="module", batch_streams=4)
+    assert ds.use_augmentation is True
     assert np.isfinite(out["epe"]) and out["epe"] >= 0.0
     assert 0.0 <= out["aae"] <= 180.0
     assert out["num_frames"] == (len(ds) // 4) * 4
+    ds.use_augmentation = False
+    out2 = evaluate_flow_serving(model, variables, CUTOUT_KW, ds,
+                                 engine="module", batch_streams=4)
+    assert out2["epe"] == out["epe"]  # aug was really off during scoring
     with pytest.raises(ValueError, match="frames"):
         evaluate_flow_serving(model, variables, CUTOUT_KW, ds,
                               engine="module", batch_streams=1024)

@@ -39,6 +39,56 @@ def _small_model(num_pts=64, window=5):
     return model, variables
 
 
+def _train_tiny(tmp_path, model_type, task, lr, seed, flow_input=False,
+                epochs=3):
+    """Shared scaffold for the trained-model gates: synthetic DROW split,
+    tiny model, jitted train step. Returns (ds, loader, model, state,
+    step) with the state UNTRAINED — the caller runs the loop (the flow
+    gate needs the pre-training loss)."""
+    from planar_optical_flow_tpu.data import (
+        write_synthetic_drow_split, DrowDetectionDataset, BatchLoader,
+    )
+    from planar_optical_flow_tpu.models import get_model
+    from planar_optical_flow_tpu.train import (
+        create_train_state, make_optimizer,
+    )
+
+    d = str(tmp_path)
+    write_synthetic_drow_split(d, "train", num_sequences=1, num_frames=40,
+                               num_people=3, seed=seed)
+    ds = DrowDetectionDataset(d, "train", num_scans=2, pedestrian_only=True)
+    loader = BatchLoader(ds, batch_size=8, seed=0)
+
+    model = get_model({"type": model_type, "window_size": 5,
+                       "pedestrian_only": True})
+    tx = make_optimizer(
+        {"scheduler_kwargs": {"epoch0": 0, "lr0": lr, "epoch1": 20,
+                              "lr1": lr}},
+        steps_per_epoch=len(loader),
+    )
+    x = jnp.zeros((8, 450, 3, 16))  # num_scans=2 history + current
+    inputs = (x, jnp.zeros((8, 450))) if flow_input else (x,)
+    state = create_train_state(model, inputs, tx,
+                               init_kwargs={"train": False})
+
+    @jax.jit
+    def step(state, batch, rng_key):
+        def loss_fn(params):
+            loss, tb, _, stats = task.loss(
+                state.apply_fn,
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, True, rng_key,
+            )
+            return loss, stats
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return state.apply_gradients(grads, stats), loss
+
+    return ds, loader, model, state, step
+
+
 def test_nms_topk_adversarial_clusters():
     """>top_k above-threshold votes in tight clusters: the kept detections
     of the top-64 serving NMS must equal the full-P oracle's (the
@@ -186,46 +236,12 @@ def test_int8c_ap_gate(tmp_path):
     detector. Covers calibration, the int8 kernels, the int8 template
     carry, AND the serve default nms_top_k=64 (the module path runs
     full-P NMS — a top-k exactness break would show up as AP drift)."""
-    from planar_optical_flow_tpu.data import (
-        write_synthetic_drow_split, DrowDetectionDataset, BatchLoader,
-    )
-    from planar_optical_flow_tpu.models import get_model
-    from planar_optical_flow_tpu.train import (
-        create_train_state, make_optimizer, tasks,
-    )
+    from planar_optical_flow_tpu.train import tasks
     from planar_optical_flow_tpu.eval import evaluate_detection_ap_batched
 
-    d = str(tmp_path)
-    write_synthetic_drow_split(d, "train", num_sequences=1, num_frames=40,
-                               num_people=3, seed=5)
-    ds = DrowDetectionDataset(d, "train", num_scans=2, pedestrian_only=True)
-    loader = BatchLoader(ds, batch_size=8, seed=0)
-
-    model = get_model({"type": "dr-spaam", "window_size": 5,
-                       "pedestrian_only": True})
     task = tasks.DetectionTask(cutout_kwargs=CUTOUT_KW, pedestrian_only=True)
-    tx = make_optimizer(
-        {"scheduler_kwargs": {"epoch0": 0, "lr0": 1e-3, "epoch1": 20,
-                              "lr1": 1e-3}},
-        steps_per_epoch=len(loader),
-    )
-    x = jnp.zeros((8, 450, 3, 16))
-    state = create_train_state(model, (x,), tx, init_kwargs={"train": False})
-
-    @jax.jit
-    def step(state, batch, rng_key):
-        def loss_fn(params):
-            loss, tb, _, stats = task.loss(
-                state.apply_fn,
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, True, rng_key,
-            )
-            return loss, stats
-
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        return state.apply_gradients(grads, stats), loss
+    ds, loader, model, state, step = _train_tiny(
+        tmp_path, "dr-spaam", task, lr=1e-3, seed=5)
 
     key = jax.random.PRNGKey(0)
     for _ in range(3):
@@ -251,49 +267,12 @@ def test_int8c_flow_epe_gate(tmp_path):
     tolerance on untrained weights; a quantization regression that skews
     the similarity features feeding the flow head could degrade flow
     while detection AP stays intact — this pins it."""
-    import optax
-
-    from planar_optical_flow_tpu.data import (
-        write_synthetic_drow_split, DrowDetectionDataset, BatchLoader,
-    )
     from planar_optical_flow_tpu.eval import evaluate_flow_serving
-    from planar_optical_flow_tpu.models import get_model
-    from planar_optical_flow_tpu.train import (
-        create_train_state, make_optimizer, tasks,
-    )
+    from planar_optical_flow_tpu.train import tasks
 
-    d = str(tmp_path)
-    write_synthetic_drow_split(d, "train", num_sequences=1, num_frames=40,
-                               num_people=3, seed=7)
-    ds = DrowDetectionDataset(d, "train", num_scans=2, pedestrian_only=True)
-    loader = BatchLoader(ds, batch_size=8, seed=0)
-
-    model = get_model({"type": "flow_drow", "window_size": 5,
-                       "pedestrian_only": True})
     task = tasks.FlowDrowTask(cutout_kwargs=CUTOUT_KW, pedestrian_only=True)
-    tx = make_optimizer(
-        {"scheduler_kwargs": {"epoch0": 0, "lr0": 3e-3, "epoch1": 20,
-                              "lr1": 3e-3}},
-        steps_per_epoch=len(loader),
-    )
-    x = jnp.zeros((8, 450, 3, 16))  # num_scans=2 history + current
-    state = create_train_state(model, (x, jnp.zeros((8, 450))), tx,
-                               init_kwargs={"train": False})
-
-    @jax.jit
-    def step(state, batch, rng_key):
-        def loss_fn(params):
-            loss, tb, _, stats = task.loss(
-                state.apply_fn,
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, True, rng_key,
-            )
-            return loss, stats
-
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        return state.apply_gradients(grads, stats), loss
+    ds, loader, model, state, step = _train_tiny(
+        tmp_path, "flow_drow", task, lr=3e-3, seed=7, flow_input=True)
 
     # fixed eval batches (the loader reshuffles per epoch; the engines
     # must be scored on identical frames)

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from planar_optical_flow_tpu.models.drow import DrowBackbone, DrowHead
 from planar_optical_flow_tpu.models import FlowDrow
@@ -90,6 +91,10 @@ def test_calibrate_percentile_clips_outliers(rng):
     assert s_in_p < s_in_max  # the spike no longer sets the input scale
     assert all(a <= b + 1e-12 for a, b in zip(s_p, s_max))
     assert s_in_100 == s_in_max and s_100 == s_max
+
+    for bad in (0.0, -1.0, 100.5):
+        with pytest.raises(ValueError, match="percentile"):
+            qd.calibrate(layers, set(), x, percentile=bad)
 
     # finer input resolution for the bulk: quantize/dequantize error on the
     # non-spike values drops with the clipped scale
