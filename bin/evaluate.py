@@ -17,6 +17,27 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import argparse
 import sys
 
+import numpy as np
+
+
+def _artifact_eval_batch(meta, n_frames, num_pts, parser):
+    """Pick the serving batch for scoring an AOT artifact: the largest
+    exported batch that the eval sequence can fill. Validates the scan
+    width up front (the exported programs have static shapes, so a
+    mismatch would otherwise surface as an opaque shape error inside the
+    deserialized StableHLO call)."""
+    if int(meta["num_pts"]) != int(num_pts):
+        parser.error(
+            f"artifact was exported for num_pts={meta['num_pts']} but the "
+            f"dataset has {num_pts}-beam scans")
+    batches = meta.get("batches") or [meta["batch"]]
+    fit = [int(b) for b in batches if int(b) <= n_frames]
+    if not fit:
+        parser.error(
+            f"artifact batches {sorted(batches)} all exceed the "
+            f"{n_frames} eval frames; re-export with a smaller --batch")
+    return max(fit)
+
 
 def _resolve_ap_engine(engine, ckpt):
     """Resolve --engine for --ap. "auto" picks the flagship "int8c" when a
@@ -55,8 +76,23 @@ def main(argv=None):
                              "engine selected by --engine (flow_drow "
                              "models; the module-path EPE above scores "
                              "the training forward)")
+    parser.add_argument("--artifact", default=None,
+                        help="AOT serving-artifact directory "
+                             "(bin/export_serving.py): score the exact "
+                             "exported programs with --ap/--serve-flow — "
+                             "deployment QA on the unit you ship. "
+                             "Conflicts with --engine (the artifact's "
+                             "engine is baked in)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
+
+    if args.artifact:
+        if args.engine != "auto":
+            parser.error("--engine conflicts with --artifact (the "
+                         "artifact's engine is baked in)")
+        if not (args.ap or args.serve_flow):
+            parser.error("--artifact only affects the serving-path "
+                         "evaluations; pass --ap and/or --serve-flow")
 
     if args.cpu:
         import jax
@@ -84,13 +120,22 @@ def main(argv=None):
     if args.ckpt:
         pipeline.load_ckpt(args.ckpt)
 
-    metrics = pipeline.evaluate(tb_prefix=args.split.upper())
-    print({k: round(v, 6) for k, v in metrics.items()})
+    if args.artifact and not args.ckpt:
+        # the artifact supplies the serving programs; module-path metrics
+        # on an un-restored init would be meaningless noise
+        print({"note": "module-path metrics skipped (no --ckpt; the "
+                       "artifact carries the serving programs)"})
+    else:
+        metrics = pipeline.evaluate(tb_prefix=args.split.upper())
+        print({k: round(v, 6) for k, v in metrics.items()})
 
     # one resolution shared by --ap and --serve-flow (avoids resolving —
     # and printing — the engine choice twice)
     engine = calib = None
-    if args.ap or args.serve_flow:
+    if args.artifact:
+        engine = "artifact"
+        print({"ap_engine": "artifact", "artifact": args.artifact})
+    elif args.ap or args.serve_flow:
         engine, calib = _resolve_ap_engine(args.engine, args.ckpt)
         if args.engine == "auto":
             print({"ap_engine": engine})
@@ -99,23 +144,50 @@ def main(argv=None):
                                             "flow_drow", "drow"):
         from planar_optical_flow_tpu.eval import evaluate_detection_ap_batched
         ds = pipeline.val_set or pipeline.train_set
-        ap = evaluate_detection_ap_batched(
-            pipeline.model, pipeline.state.variables,
-            cfg["dataset"].get("cutout_kwargs", {}), ds,
-            engine=engine, calib=calib,
-        )
+        if args.artifact:
+            from planar_optical_flow_tpu.eval.evaluator import (
+                DetectionEvalFrames,
+            )
+            from planar_optical_flow_tpu.infer import load_serving_engine
+
+            frames = DetectionEvalFrames.from_dataset(ds)
+            step = load_serving_engine(args.artifact)
+            b = _artifact_eval_batch(step.meta, len(frames),
+                                     frames.scans.shape[1], parser)
+            ap = evaluate_detection_ap_batched(
+                None, None, None, frames, step=step, batch_streams=b)
+        else:
+            ap = evaluate_detection_ap_batched(
+                pipeline.model, pipeline.state.variables,
+                cfg["dataset"].get("cutout_kwargs", {}), ds,
+                engine=engine, calib=calib,
+            )
         print({k: round(v, 6) if isinstance(v, float) else v
                for k, v in ap.items()})
 
     if args.serve_flow:
         from planar_optical_flow_tpu.eval import evaluate_flow_serving
 
-        flow = evaluate_flow_serving(
-            pipeline.model, pipeline.state.variables,
-            cfg["dataset"].get("cutout_kwargs", {}),
-            pipeline.val_set or pipeline.train_set,
-            engine=engine, calib=calib,
-        )
+        ds = pipeline.val_set or pipeline.train_set
+        if args.artifact:
+            from planar_optical_flow_tpu.infer.streaming import (
+                StreamingRunner,
+            )
+
+            runner = StreamingRunner.from_artifact(args.artifact)
+            num_pts = int(np.shape(ds.scans_flat)[-1]) if hasattr(
+                ds, "scans_flat") else int(runner.meta["num_pts"])
+            b = _artifact_eval_batch(runner.meta, len(ds), num_pts, parser)
+            flow = evaluate_flow_serving(
+                None, None, None, ds, runner=runner,
+                num_pts=num_pts, batch_streams=b,
+            )
+        else:
+            flow = evaluate_flow_serving(
+                pipeline.model, pipeline.state.variables,
+                cfg["dataset"].get("cutout_kwargs", {}), ds,
+                engine=engine, calib=calib,
+            )
         print({("serve_" + k): round(v, 6) if isinstance(v, float) else v
                for k, v in flow.items()})
     return 0

@@ -44,7 +44,7 @@ def evaluate_flow(task, state, loader, collect_outputs: bool = False):
 def evaluate_flow_serving(model, variables, cutout_kwargs, frames,
                           engine: str = "module", calib=None,
                           calib_scans=None, num_pts: int = 450,
-                          batch_streams: int = 8):
+                          batch_streams: int = 8, runner=None):
     """Flow EPE/AAE through a SERVING engine (module / v3 / int8c).
 
     The module-path :func:`evaluate_flow` scores the training forward;
@@ -63,6 +63,13 @@ def evaluate_flow_serving(model, variables, cutout_kwargs, frames,
     augmentation is suspended for the duration (eval must be
     deterministic and the calibration scans must match the scored
     frames).
+
+    ``runner``: a prebuilt :class:`StreamingRunner` — e.g.
+    ``StreamingRunner.from_artifact`` to score the exact programs of a
+    shipped AOT artifact; ``engine``/``calib``/``calib_scans`` are then
+    ignored (the runner's engine is baked in) and ``batch_streams`` must
+    match a batch the runner accepts. The serving analogue of the AP
+    evaluator's ``step=`` kwarg.
     """
     import jax.numpy as jnp
 
@@ -78,15 +85,18 @@ def evaluate_flow_serving(model, variables, cutout_kwargs, frames,
     was_aug = getattr(frames, "use_augmentation", False)
     frames.use_augmentation = False
     try:
-        if calib_scans is None and engine == "int8c" and calib is None:
-            calib_scans = np.asarray(
-                frames.batch(np.arange(batch_streams))["scans"][:, -1])
-        # NMS outputs are never read here — pred_flow comes from the
-        # epilogue regardless, so skip the per-step vote NMS entirely
-        runner = StreamingRunner(model, variables, cutout_kwargs,
-                                 num_pts=num_pts, with_nms=False,
-                                 engine=engine, calib=calib,
-                                 calib_scans=calib_scans)
+        if runner is not None:
+            engine = getattr(runner, "_engine", "custom")
+        else:
+            if calib_scans is None and engine == "int8c" and calib is None:
+                calib_scans = np.asarray(
+                    frames.batch(np.arange(batch_streams))["scans"][:, -1])
+            # NMS outputs are never read here — pred_flow comes from the
+            # epilogue regardless, so skip the per-step vote NMS entirely
+            runner = StreamingRunner(model, variables, cutout_kwargs,
+                                     num_pts=num_pts, with_nms=False,
+                                     engine=engine, calib=calib,
+                                     calib_scans=calib_scans)
         phi = jnp.asarray(get_laser_phi(num_pts=num_pts))
         epe_sum, ang_sum, n_pts = 0.0, 0.0, 0
         for i in range(0, n_eval, batch_streams):
@@ -95,6 +105,11 @@ def evaluate_flow_serving(model, variables, cutout_kwargs, frames,
             scans = np.asarray(batch["scans"], np.float32)
             for t in range(scans.shape[1]):
                 out = runner(scans[:, t])
+            if "pred_flow" not in out:
+                raise ValueError(
+                    "serving engine emits no pred_flow — flow EPE needs a "
+                    "flow-headed model (flow_drow); an AOT artifact must "
+                    "have been exported from one")
             pred = np.asarray(out["pred_flow"], np.float32)
             target = np.asarray(canonical_to_global_flow(
                 jnp.asarray(batch["target_flow"]), phi), np.float32)

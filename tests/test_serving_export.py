@@ -268,6 +268,140 @@ def test_reexport_removes_stale_programs(tmp_path):
     assert "boot.bin" not in names and "step.bin" not in names
 
 
+def test_artifact_eval_surfaces(tmp_path):
+    """Deployment QA: a shipped artifact is scoreable through the
+    evaluation surfaces — ``evaluate_detection_ap_batched(step=engine)``
+    and ``evaluate_flow_serving(runner=StreamingRunner.from_artifact)`` —
+    with numbers identical to the live jitted step (the exported
+    programs are bit-identical, so the scores must be too)."""
+    from planar_optical_flow_tpu.eval import (
+        evaluate_detection_ap_batched, evaluate_flow_serving,
+    )
+    from planar_optical_flow_tpu.eval.evaluator import DetectionEvalFrames
+    from planar_optical_flow_tpu.infer import (export_serving_engine,
+                                               load_serving_engine)
+    from planar_optical_flow_tpu.infer.streaming import StreamingRunner
+
+    num_pts, batch = 64, 4
+    step, rng = _tiny_engine(num_pts, batch)
+    out_dir = export_serving_engine(
+        str(tmp_path / "engine"), step,
+        jax.ShapeDtypeStruct((batch, num_pts), np.float32),
+        meta={"engine": "int8c", "model_type": "flow_drow"})
+    engine = load_serving_engine(out_dir)
+
+    # --- detection AP: loaded artifact vs live step, identical numbers
+    t_frames = 10
+    scans = rng.uniform(0.5, 20.0, (t_frames, num_pts)).astype(np.float32)
+    gt = [rng.uniform(-5, 5, (int(rng.integers(0, 3)), 2)).astype(np.float32)
+          for _ in range(t_frames)]
+    frames = DetectionEvalFrames(scans, gt)
+    want = evaluate_detection_ap_batched(None, None, None, frames,
+                                         step=step, batch_streams=batch)
+    got = evaluate_detection_ap_batched(None, None, None, frames,
+                                        step=engine, batch_streams=batch)
+    assert got == want
+
+    # --- flow EPE: artifact runner vs a shim around the live step
+    class _LiveRunner:
+        _engine = "live"
+        _carry = None
+
+        def reset(self, streams=None):
+            self._carry = None
+
+        def __call__(self, scan):
+            self._carry, out = step(self._carry,
+                                    jnp.asarray(scan, jnp.float32))
+            return {k: np.asarray(v) for k, v in out.items()}
+
+    class _Frames:
+        use_augmentation = False
+
+        def __init__(self):
+            r = np.random.default_rng(7)
+            self.scans = r.uniform(
+                0.5, 20.0, (8, 2, num_pts)).astype(np.float32)
+            self.target = r.normal(size=(8, num_pts, 2)).astype(np.float32)
+            self.mask = np.ones((8, num_pts), np.float32)
+
+        def __len__(self):
+            return len(self.scans)
+
+        def batch(self, idx):
+            return {"scans": self.scans[idx],
+                    "target_flow": self.target[idx],
+                    "exclude_mask": self.mask[idx]}
+
+    flow_live = evaluate_flow_serving(None, None, None, _Frames(),
+                                      runner=_LiveRunner(),
+                                      num_pts=num_pts, batch_streams=batch)
+    flow_art = evaluate_flow_serving(None, None, None, _Frames(),
+                                     runner=StreamingRunner.from_artifact(
+                                         out_dir),
+                                     num_pts=num_pts, batch_streams=batch)
+    assert flow_art["epe"] == flow_live["epe"]
+    assert flow_art["aae"] == flow_live["aae"]
+    assert flow_art["engine"] == "artifact"
+    assert flow_live["engine"] == "live"
+
+
+def test_evaluate_cli_artifact_guards():
+    """--artifact conflicts with --engine and needs a serving-path
+    evaluation flag; the batch/num_pts selection helper validates the
+    artifact metadata against the dataset."""
+    import argparse
+
+    import bin.evaluate as cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["--cfg", "x.yaml", "--artifact", "d", "--engine",
+                  "int8c", "--ap", "--cpu"])
+    with pytest.raises(SystemExit):
+        cli.main(["--cfg", "x.yaml", "--artifact", "d", "--cpu"])
+
+    parser = argparse.ArgumentParser()
+    meta = {"num_pts": 64, "batches": [1, 4, 128], "batch": None}
+    assert cli._artifact_eval_batch(meta, 10, 64, parser) == 4
+    assert cli._artifact_eval_batch(
+        {"num_pts": 64, "batch": 2}, 10, 64, parser) == 2
+    with pytest.raises(SystemExit):  # scan-width mismatch
+        cli._artifact_eval_batch(meta, 10, 450, parser)
+    with pytest.raises(SystemExit):  # every batch exceeds the frames
+        cli._artifact_eval_batch(
+            {"num_pts": 64, "batches": [64]}, 10, 64, parser)
+
+
+def test_evaluate_cli_artifact_end_to_end(tmp_path):
+    """The full deployment-QA flow: export an engine, then score the
+    artifact itself with ``bin/evaluate.py --artifact --ap --serve-flow``
+    — no checkpoint on the scoring side (the module-path metrics are
+    skipped with a note; the artifact carries the serving programs)."""
+    import bin.evaluate as eval_cli
+    import bin.export_serving as export_cli
+
+    cfg = {
+        "network": "cutout_spatial", "num_scans": 2, "epochs": 1,
+        "batch_size": 2, "pedestrian_only": True,
+        "log_dir": str(tmp_path / "logs"),
+        "similarity_kwargs": {"alpha": 0.5, "window_size": 5},
+        "cutout_kwargs": {"fixed": True, "centered": True,
+                          "window_width": 1.0, "window_depth": 0.5,
+                          "num_cutout_pts": 16, "padding_val": 29.99,
+                          "area_mode": True, "gather_mode": "matmul"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    engine_dir = tmp_path / "engine"
+    assert export_cli.main(["--cfg", str(cfg_path), "--out",
+                            str(engine_dir), "--batch", "2,4",
+                            "--engine", "bf16", "--cpu"]) == 0
+    rc = eval_cli.main(["--cfg", str(cfg_path), "--artifact",
+                        str(engine_dir), "--ap", "--serve-flow",
+                        "--synthetic", str(tmp_path / "data"), "--cpu"])
+    assert rc == 0
+
+
 def test_export_cli_multi_batch(tmp_path):
     """``--batch 1,2`` through the CLI; bad lists rejected."""
     import bin.export_serving as cli
