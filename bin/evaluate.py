@@ -109,6 +109,16 @@ def main(argv=None):
         parser.error("--serve-flow needs a flow-headed model "
                      f"(flow_drow), not {cfg['model']['type']!r}")
 
+    # load the artifact BEFORE the pipeline build (model init is slow on
+    # a remote chip) so a missing/corrupt/wrong-platform artifact fails
+    # in milliseconds; the one loaded engine serves both --ap and
+    # --serve-flow
+    artifact_engine = None
+    if args.artifact:
+        from planar_optical_flow_tpu.infer import load_serving_engine
+
+        artifact_engine = load_serving_engine(args.artifact)
+
     synthetic_dir = None
     if args.synthetic:
         from bin.train import _make_synthetic
@@ -144,18 +154,17 @@ def main(argv=None):
                                             "flow_drow", "drow"):
         from planar_optical_flow_tpu.eval import evaluate_detection_ap_batched
         ds = pipeline.val_set or pipeline.train_set
-        if args.artifact:
+        if artifact_engine is not None:
             from planar_optical_flow_tpu.eval.evaluator import (
                 DetectionEvalFrames,
             )
-            from planar_optical_flow_tpu.infer import load_serving_engine
 
             frames = DetectionEvalFrames.from_dataset(ds)
-            step = load_serving_engine(args.artifact)
-            b = _artifact_eval_batch(step.meta, len(frames),
+            b = _artifact_eval_batch(artifact_engine.meta, len(frames),
                                      frames.scans.shape[1], parser)
             ap = evaluate_detection_ap_batched(
-                None, None, None, frames, step=step, batch_streams=b)
+                None, None, None, frames, step=artifact_engine,
+                batch_streams=b)
         else:
             ap = evaluate_detection_ap_batched(
                 pipeline.model, pipeline.state.variables,
@@ -169,12 +178,12 @@ def main(argv=None):
         from planar_optical_flow_tpu.eval import evaluate_flow_serving
 
         ds = pipeline.val_set or pipeline.train_set
-        if args.artifact:
+        if artifact_engine is not None:
             from planar_optical_flow_tpu.infer.streaming import (
                 StreamingRunner,
             )
 
-            runner = StreamingRunner.from_artifact(args.artifact)
+            runner = StreamingRunner.from_artifact(artifact_engine)
             num_pts = int(np.shape(ds.scans_flat)[-1]) if hasattr(
                 ds, "scans_flat") else int(runner.meta["num_pts"])
             b = _artifact_eval_batch(runner.meta, len(ds), num_pts, parser)

@@ -1182,13 +1182,18 @@ class StreamingRunner:
         # else: lazy — built on the first __call__ (self-calibrating)
 
     @classmethod
-    def from_artifact(cls, path: str) -> "StreamingRunner":
+    def from_artifact(cls, path) -> "StreamingRunner":
         """Run an AOT serving artifact (``bin/export_serving.py``): the
         serving host needs neither the model code, the checkpoint, nor a
         calibration — the engine directory is the whole deployment unit.
         Batch size and scan width are baked into the artifact
-        (``runner.meta``)."""
-        from planar_optical_flow_tpu.infer.export import load_serving_engine
+        (``runner.meta``). ``path``: an engine directory, or an already
+        loaded :class:`~planar_optical_flow_tpu.infer.export.ServingEngine`
+        (avoids re-deserializing when the caller also uses the engine
+        directly, e.g. ``bin/evaluate.py --artifact --ap --serve-flow``)."""
+        from planar_optical_flow_tpu.infer.export import (
+            ServingEngine, load_serving_engine,
+        )
 
         runner = cls.__new__(cls)
         runner._engine = "artifact"
@@ -1196,7 +1201,8 @@ class StreamingRunner:
         runner._template = None
         runner._pending_reset = None
         runner._step = None
-        runner._step_v3 = load_serving_engine(path)
+        runner._step_v3 = (path if isinstance(path, ServingEngine)
+                           else load_serving_engine(path))
         runner.calibration = None
         runner.meta = runner._step_v3.meta
         return runner
