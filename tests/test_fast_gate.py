@@ -413,3 +413,65 @@ def test_serve_sequence_processor_matches_steps():
     np.testing.assert_array_equal(
         np.asarray(end_carry["template"], np.float32),
         np.asarray(carry["template"], np.float32))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,ct,win,area,with_bf16", [
+    ("dr_spaam", 56, 11, True, True),     # configs/dr_spaam.yaml
+    ("obj_det", 48, 7, True, False),      # reference config_obj_det.yaml
+    ("ct_bl_spatial", 24, 9, False, False),  # reference CT_bl_spatial.yaml
+])
+def test_serve_v3_reference_working_points(name, ct, win, area, with_bf16):
+    """Serving-path parity sweep at the reference's ACTUAL config working
+    points — 450 beams with the cutout/window geometries of
+    ``config/dr_spaam.yaml`` (56 pts, window 11, area mode),
+    ``config_obj_det.yaml`` (48 pts, window 7) and ``CT_bl_spatial.yaml``
+    (24 pts, point mode) — vs the f32 module path. The fast parity tests
+    pin small geometries (16-24 pts, window 5, 64 beams); this guards the
+    kernel shape edges (tap alignment, band width, tile padding) at the
+    sizes real deployments run. Flagship int8c for every point, bf16
+    additionally at the headline dr_spaam point."""
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import (
+        make_stream_step, make_serve_step_v3,
+    )
+
+    num_pts = 450
+    kw = dict(fixed=True, centered=True, window_width=1.0,
+              window_depth=0.5, num_cutout_pts=ct, padding_val=29.99,
+              area_mode=area, gather_mode="matmul")
+    model = FlowDrow(window_size=win, pedestrian_only=True)
+    x = jnp.zeros((1, num_pts, 1, ct))
+    variables = model.init(jax.random.PRNGKey(0), x,
+                           jnp.zeros((1, num_pts)), train=False)
+    rng = np.random.default_rng(3)
+    calib = rng.uniform(0.5, 20.0, (2, num_pts)).astype(np.float32)
+
+    ref_step = make_stream_step(model, kw, num_pts=num_pts,
+                                donate_template=False, with_nms=False)
+    engines = {"int8c": make_serve_step_v3(
+        model, variables, kw, calib_scans=calib, num_pts=num_pts,
+        with_nms=False, precision="int8c", interpret=True)}
+    if with_bf16:
+        engines["bf16"] = make_serve_step_v3(
+            model, variables, kw, num_pts=num_pts, with_nms=False,
+            precision="bf16", interpret=True)
+
+    tmpl, carries = None, {k: None for k in engines}
+    for i in range(2):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (2, num_pts)),
+                           jnp.float32)
+        tmpl, ref = ref_step(variables, tmpl, scan)
+        for prec, step in engines.items():
+            carries[prec], got = step(carries[prec], scan)
+            for k in ("pred_cls", "pred_flow"):
+                a = np.asarray(got[k], np.float32)
+                b = np.asarray(ref[k], np.float32)
+                corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+                floor = 0.99 if prec == "bf16" else 0.95
+                assert corr > floor, (name, prec, i, k, corr)
+            if prec == "bf16":
+                a = np.asarray(got["pred_flow"], np.float32)
+                b = np.asarray(ref["pred_flow"], np.float32)
+                assert np.abs(a - b).max() < 0.15 * max(
+                    np.abs(b).max(), 1.0), (name, i)
