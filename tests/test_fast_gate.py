@@ -475,3 +475,57 @@ def test_serve_v3_reference_working_points(name, ct, win, area, with_bf16):
                 b = np.asarray(ref["pred_flow"], np.float32)
                 assert np.abs(a - b).max() < 0.15 * max(
                     np.abs(b).max(), 1.0), (name, i)
+
+
+def test_serve_step_v3_multiclass():
+    """4-class DROW head (pedestrian_only=False, the reference's
+    none/wc/wa/wp head) through the fused v3 pipeline vs the module
+    path — the one head-width variant the serving kernels support but
+    no other test drives. The epilogue uses the last (wp) channel as
+    NMS confidence (streaming.py:_detection_epilogue)."""
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import (
+        make_stream_step, make_serve_step_v3,
+    )
+
+    num_pts = 64
+    kw = dict(fixed=True, centered=True, window_width=1.0,
+              window_depth=0.5, num_cutout_pts=16, padding_val=29.99,
+              area_mode=True, gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=False)
+    x = jnp.zeros((1, num_pts, 1, 16))
+    variables = model.init(jax.random.PRNGKey(0), x,
+                           jnp.zeros((1, num_pts)), train=False)
+    rng = np.random.default_rng(5)
+    calib = rng.uniform(0.5, 20.0, (2, num_pts)).astype(np.float32)
+
+    ref_step = make_stream_step(model, kw, num_pts=num_pts,
+                                donate_template=False)
+    engines = {
+        "bf16": make_serve_step_v3(model, variables, kw, num_pts=num_pts,
+                                   precision="bf16", tile=16,
+                                   interpret=True),
+        "int8c": make_serve_step_v3(model, variables, kw, num_pts=num_pts,
+                                    calib_scans=calib, precision="int8c",
+                                    tile=16, interpret=True),
+    }
+    tmpl, carries = None, {k: None for k in engines}
+    for i in range(2):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (2, num_pts)),
+                           jnp.float32)
+        tmpl, ref = ref_step(variables, tmpl, scan)
+        assert ref["pred_cls"].shape == (2, num_pts, 4)
+        for prec, step in engines.items():
+            carries[prec], got = step(carries[prec], scan)
+            assert got["pred_cls"].shape == (2, num_pts, 4)
+            for k in ("pred_cls", "pred_flow"):
+                a = np.asarray(got[k], np.float32)
+                b = np.asarray(ref[k], np.float32)
+                corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+                floor = 0.99 if prec == "bf16" else 0.95
+                assert corr > floor, (prec, i, k, corr)
+            # NMS outputs exist; det_cls carries the last (wp) channel's
+            # confidence — (K, 1) like the module path, not all 4 logits
+            assert got["det_cls"].shape == ref["det_cls"].shape
+            assert got["det_cls"].shape[-1] == 1
+            assert got["det_keep"].dtype == bool
