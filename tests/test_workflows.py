@@ -163,3 +163,17 @@ def test_detection_task_loss_decreases_on_fixed_batch(rng):
         state, loss = step(state, batch, sk)
         losses.append(float(loss))
     assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+@pytest.mark.slow
+def test_demo_cli_end_to_end(tmp_path):
+    """The showcase workflow script (``bin/demo.py``): synthesize data ->
+    train the detector -> graft it into FlowDROW -> train the flow head
+    -> streaming joint inference with AP/EPE reporting. Guarded against
+    bit-rot — the reference's ``bin/`` entry points rotted exactly this
+    way (SURVEY §2.10: stale Trainer signatures, broken imports)."""
+    import bin.demo as demo
+
+    rc = demo.main(["--workdir", str(tmp_path / "demo"), "--cpu",
+                    "--det-epochs", "1", "--flow-epochs", "1"])
+    assert rc == 0
