@@ -655,3 +655,83 @@ def test_import_envelope_variants(rng, tmp_path):
     assert sorted(sd1) == sorted(sd2) == sorted(sd3)
     for k in sd1:
         np.testing.assert_array_equal(sd1[k], sd3[k])
+
+
+def test_migration_to_deployment_composition(rng, tmp_path):
+    """The full migration-to-production user story, composed end to end:
+    a reference-format ``.pth`` checkpoint -> ``bin/import_checkpoint``
+    (orbax) -> ``bin/export_serving`` (AOT artifact from the imported
+    weights) -> the loaded artifact serves bit-identically to the live
+    v3 step built from the same imported weights. Each stage is covered
+    individually elsewhere; this guards the seams between them."""
+    torch = _torch()
+    dr_spaam_mod = load_reference("src.depracted.model.dr_spaam")
+    import yaml
+    import jax
+    import optax
+
+    import bin.import_checkpoint as import_cli
+    import bin.export_serving as export_cli
+    from planar_optical_flow_tpu.infer import load_serving_engine
+    from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
+    from planar_optical_flow_tpu.models import get_model
+    from planar_optical_flow_tpu.pipeline import (_example_inputs,
+                                                  normalize_config)
+    from planar_optical_flow_tpu.train.checkpoint import restore_variables
+    from planar_optical_flow_tpu.train.state import create_train_state
+
+    torch.manual_seed(11)
+    ref_model = dr_spaam_mod.SpatialDROW(
+        num_pts=16, alpha=0.5, window_size=5).eval()
+    randomize_bn_stats(ref_model, seed=11)
+    pth = tmp_path / "dr_spaam_e40.pth"
+    torch.save({"epoch": 40, "it": 100.0,
+                "model_state": ref_model.state_dict(),
+                "optimizer_state": None}, pth)
+
+    cfg_flat = {
+        "network": "cutout_gating", "num_scans": 2,
+        "similarity_kwargs": {"alpha": 0.5, "window_size": 5},
+        "cutout_kwargs": {"fixed": True, "centered": True,
+                          "window_width": 1.0, "window_depth": 0.5,
+                          "num_cutout_pts": 16, "padding_val": 29.99,
+                          "area_mode": True, "gather_mode": "matmul"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_flat))
+    ckpt_dir = tmp_path / "imported"
+    assert import_cli.main(["--pth", str(pth), "--cfg", str(cfg_path),
+                            "--out", str(ckpt_dir), "--cpu"]) == 0
+
+    num_pts, batch = 64, 2
+    engine_dir = tmp_path / "engine"
+    assert export_cli.main(["--cfg", str(cfg_path), "--ckpt",
+                            str(ckpt_dir), "--out", str(engine_dir),
+                            "--batch", str(batch), "--num-pts",
+                            str(num_pts), "--tile", "16", "--engine",
+                            "bf16", "--cpu"]) == 0
+    engine = load_serving_engine(str(engine_dir))
+    assert engine.meta["ckpt"] == str(ckpt_dir.resolve())
+
+    # live v3 step from the SAME imported weights
+    cfg = normalize_config(cfg_flat)
+    model = get_model(cfg["model"])
+    state = create_train_state(model, _example_inputs(cfg, 1),
+                               optax.identity(),
+                               init_kwargs={"train": False})
+    restored = restore_variables(str(ckpt_dir), state)
+    live = make_serve_step_v3(model, restored.variables,
+                              cfg_flat["cutout_kwargs"], num_pts=num_pts,
+                              precision="bf16", tile=16, interpret=True)
+
+    jnp = _jnp()
+    carry_l = carry_a = None
+    for i in range(3):
+        scan = jnp.asarray(rng.uniform(0.5, 20.0, (batch, num_pts)),
+                           jnp.float32)
+        carry_l, want = live(carry_l, scan)
+        carry_a, got = engine(carry_a, scan)
+        for a, b in zip(jax.tree_util.tree_leaves(want),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"step {i}")
