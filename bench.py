@@ -19,6 +19,49 @@ import time
 import numpy as np
 
 
+#: the dr_spaam.yaml serving working point — the single source of truth
+#: for every flagship-throughput measurement (bench, soak, probes)
+CUTOUT_KWARGS = dict(
+    fixed=True, centered=True, window_width=1.0, window_depth=0.5,
+    num_cutout_pts=56, padding_val=29.99, area_mode=True,
+    gather_mode="matmul",  # MXU sampling path (f32-parity, ~4x gather)
+)
+NUM_PTS = 450
+
+
+def flagship_model():
+    """Init the flagship FlowDROW at the dr_spaam.yaml working point.
+    Returns (model, variables)."""
+    import jax
+    import jax.numpy as jnp
+
+    from planar_optical_flow_tpu.models import FlowDrow
+
+    model = FlowDrow(window_size=11, pedestrian_only=True)
+    x = jnp.zeros((1, NUM_PTS, 1, CUTOUT_KWARGS["num_cutout_pts"]))
+    cur = jnp.zeros((1, NUM_PTS))
+    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+    return model, variables
+
+
+def flagship_step(batch: int, layout: str = "p2"):
+    """Build the shipping int8c serving step at the flagship working
+    point, self-calibrated on the returned scans. Returns (step, scan)."""
+    import jax.numpy as jnp
+
+    from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
+
+    model, variables = flagship_model()
+    rng = np.random.default_rng(0)
+    scan = jnp.asarray(rng.uniform(0.5, 25.0, (batch, NUM_PTS)),
+                       dtype=jnp.float32)
+    step = make_serve_step_v3(
+        model, variables, CUTOUT_KWARGS, calib_scans=np.asarray(scan[:8]),
+        num_pts=NUM_PTS, precision="int8c", tile=128, layout=layout,
+    )
+    return step, scan
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -28,22 +71,15 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
-    num_pts = 450
+    num_pts = NUM_PTS
 
-    cutout_kwargs = dict(
-        fixed=True, centered=True, window_width=1.0, window_depth=0.5,
-        num_cutout_pts=56, padding_val=29.99, area_mode=True,
-        gather_mode="matmul",  # MXU sampling path (f32-parity, ~4x gather)
-    )  # dr_spaam.yaml working point
+    cutout_kwargs = dict(CUTOUT_KWARGS)
 
     from planar_optical_flow_tpu.infer.streaming import (
         cast_variables, make_quantized_stream_step,
     )
 
-    model = FlowDrow(window_size=11, pedestrian_only=True)
-    x = jnp.zeros((1, num_pts, 1, 56))
-    cur = jnp.zeros((1, num_pts))
-    variables = model.init(jax.random.PRNGKey(0), x, cur, train=False)
+    model, variables = flagship_model()
 
     rng = np.random.default_rng(0)
     scan = jnp.asarray(rng.uniform(0.5, 25.0, (batch, num_pts)),

@@ -20,12 +20,19 @@ import sys
 import numpy as np
 
 
-def _artifact_eval_batch(meta, n_frames, num_pts, parser):
-    """Pick the serving batch for scoring an AOT artifact: the largest
-    exported batch that the eval sequence can fill. Validates the scan
-    width up front (the exported programs have static shapes, so a
+def _artifact_eval_batch(meta, n_frames, num_pts, parser,
+                         pick: str = "fit"):
+    """Pick the serving batch for scoring an AOT artifact. Validates the
+    scan width up front (the exported programs have static shapes, so a
     mismatch would otherwise surface as an opaque shape error inside the
-    deserialized StableHLO call)."""
+    deserialized StableHLO call).
+
+    ``pick="fit"``: largest exported batch <= n_frames — right for the AP
+    evaluator, which PADS the sequence to whole chunks so every frame is
+    scored regardless of batch. ``pick="coverage"``: the batch that
+    maximizes scored frames — right for ``evaluate_flow_serving``, which
+    TRIMS to whole batches (a large batch could silently drop up to
+    batch-1 frames from the reported EPE/AAE)."""
     if int(meta["num_pts"]) != int(num_pts):
         parser.error(
             f"artifact was exported for num_pts={meta['num_pts']} but the "
@@ -36,6 +43,10 @@ def _artifact_eval_batch(meta, n_frames, num_pts, parser):
         parser.error(
             f"artifact batches {sorted(batches)} all exceed the "
             f"{n_frames} eval frames; re-export with a smaller --batch")
+    if pick == "coverage":
+        # scored frames = (n_frames // b) * b; tie-break on larger batch
+        # (fewer, bigger device steps)
+        return max(fit, key=lambda b: ((n_frames // b) * b, b))
     return max(fit)
 
 
@@ -125,17 +136,24 @@ def main(argv=None):
 
         synthetic_dir = _make_synthetic(cfg, args.synthetic)
 
-    pipeline = Pipeline(cfg, synthetic_dir=synthetic_dir,
-                        install_signal_handlers=False)
-    if args.ckpt:
-        pipeline.load_ckpt(args.ckpt)
-
     if args.artifact and not args.ckpt:
-        # the artifact supplies the serving programs; module-path metrics
-        # on an un-restored init would be meaningless noise
+        # artifact-only QA: the artifact carries the serving programs and
+        # module-path metrics on an un-restored init would be meaningless
+        # noise — so skip the WHOLE pipeline build (model init is ~90 s
+        # on a remote chip and its state would never be read); only the
+        # datasets are needed
+        from planar_optical_flow_tpu.pipeline import _build_datasets
+
+        train_set, val_set = _build_datasets(cfg, synthetic_dir)
+        eval_set = val_set or train_set
         print({"note": "module-path metrics skipped (no --ckpt; the "
                        "artifact carries the serving programs)"})
     else:
+        pipeline = Pipeline(cfg, synthetic_dir=synthetic_dir,
+                            install_signal_handlers=False)
+        if args.ckpt:
+            pipeline.load_ckpt(args.ckpt)
+        eval_set = pipeline.val_set or pipeline.train_set
         metrics = pipeline.evaluate(tb_prefix=args.split.upper())
         print({k: round(v, 6) for k, v in metrics.items()})
 
@@ -153,7 +171,7 @@ def main(argv=None):
     if args.ap and cfg["model"]["type"] in ("dr-spaam", "spatial_drow",
                                             "flow_drow", "drow"):
         from planar_optical_flow_tpu.eval import evaluate_detection_ap_batched
-        ds = pipeline.val_set or pipeline.train_set
+        ds = eval_set
         if artifact_engine is not None:
             from planar_optical_flow_tpu.eval.evaluator import (
                 DetectionEvalFrames,
@@ -177,16 +195,22 @@ def main(argv=None):
     if args.serve_flow:
         from planar_optical_flow_tpu.eval import evaluate_flow_serving
 
-        ds = pipeline.val_set or pipeline.train_set
+        ds = eval_set
         if artifact_engine is not None:
             from planar_optical_flow_tpu.infer.streaming import (
                 StreamingRunner,
             )
 
             runner = StreamingRunner.from_artifact(artifact_engine)
-            num_pts = int(np.shape(ds.scans_flat)[-1]) if hasattr(
-                ds, "scans_flat") else int(runner.meta["num_pts"])
-            b = _artifact_eval_batch(runner.meta, len(ds), num_pts, parser)
+            # dataset scan width from the data itself (falling back to
+            # meta would make the width check vacuous)
+            if hasattr(ds, "scans_flat"):
+                num_pts = int(np.shape(ds.scans_flat)[-1])
+            else:
+                num_pts = int(
+                    np.shape(ds.batch(np.arange(1))["scans"])[-1])
+            b = _artifact_eval_batch(runner.meta, len(ds), num_pts, parser,
+                                     pick="coverage")
             flow = evaluate_flow_serving(
                 None, None, None, ds, runner=runner,
                 num_pts=num_pts, batch_streams=b,

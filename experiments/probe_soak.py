@@ -1,16 +1,18 @@
 """Serving soak: long-run stability of the flagship int8c step (real TPU).
 
 Production serving runs the same compiled step for hours; this probe
-drives the bench.py working point (B=128, int8c p2) for N windows of
-W steps each, timing every window via the template data-dependency
-chain + one scalar readback, and reports per-window ms/step. What it
-guards: timing drift (e.g. allocator fragmentation, carry-donation
-regressions that accumulate copies) and output sanity over a long
-template recursion (the int8 carry must not saturate or go non-finite
-after thousands of autoregressive updates).
+drives the bench.py working point (B=128, int8c p2 — built by
+``bench.flagship_step``, the single source of truth for the flagship
+configuration) for N windows of W steps each, timing every window via
+the template data-dependency chain + one scalar readback, and reports
+per-window ms/step. What it guards: timing drift (e.g. allocator
+fragmentation, carry-donation regressions that accumulate copies) and
+output sanity over a long template recursion (the int8 carry must not
+saturate or go non-finite after thousands of autoregressive updates).
 
 Usage: PYTHONPATH=/root/repo python experiments/probe_soak.py
   [STEPS=2000] [WINDOW=200] total steps / timing-window size
+  (WINDOW is clamped to STEPS; STEPS is rounded down to whole windows)
 """
 import json
 import os
@@ -18,32 +20,17 @@ import time
 
 import numpy as np
 
+from bench import flagship_step
+
 
 def main():
-    import jax.numpy as jnp
-    import jax
-
-    from planar_optical_flow_tpu.models import FlowDrow
-    from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
-
     steps = int(os.environ.get("STEPS", "2000"))
-    window = int(os.environ.get("WINDOW", "200"))
-    batch, num_pts = 128, 450
-    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
-                         window_depth=0.5, num_cutout_pts=56,
-                         padding_val=29.99, area_mode=True,
-                         gather_mode="matmul")
-    model = FlowDrow(window_size=11, pedestrian_only=True)
-    x = jnp.zeros((1, num_pts, 1, 56))
-    variables = model.init(jax.random.PRNGKey(0), x,
-                           jnp.zeros((1, num_pts)), train=False)
-    rng = np.random.default_rng(0)
-    scan = jnp.asarray(rng.uniform(0.5, 25.0, (batch, num_pts)),
-                       jnp.float32)
-    step = make_serve_step_v3(model, variables, cutout_kwargs,
-                              calib_scans=np.asarray(scan[:8]),
-                              num_pts=num_pts, precision="int8c",
-                              tile=128, layout="p2")
+    window = min(int(os.environ.get("WINDOW", "200")), steps)
+    if window < 1:
+        raise SystemExit("STEPS/WINDOW must be >= 1")
+    steps = (steps // window) * window  # whole windows only — report truth
+
+    step, scan = flagship_step(batch=128)
 
     carry, out = step(None, scan)
     for _ in range(3):
