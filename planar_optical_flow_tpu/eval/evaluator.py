@@ -127,7 +127,10 @@ def evaluate_flow_serving(model, variables, cutout_kwargs, frames,
         frames.use_augmentation = was_aug
     return {"epe": epe_sum / max(n_pts, 1),
             "aae": ang_sum / max(n_pts, 1),
-            "num_frames": n_eval, "engine": engine}
+            "num_frames": n_eval,
+            # trimming to whole stream batches is visible, not silent
+            "frames_dropped": len(frames) - n_eval,
+            "engine": engine}
 
 
 class DetectionEvalFrames:
