@@ -371,6 +371,16 @@ def test_evaluate_cli_artifact_guards():
         cli._artifact_eval_batch(
             {"num_pts": 64, "batches": [64]}, 10, 64, parser)
 
+    # pick="coverage" (the --serve-flow mode: the flow evaluator TRIMS to
+    # whole batches): maximize scored frames, tie-break on larger batch
+    meta2 = {"num_pts": 64, "batches": [2, 128], "batch": None}
+    assert cli._artifact_eval_batch(  # 254 frames @ b=2 beats 128 @ b=128
+        meta2, 255, 64, parser, pick="coverage") == 2
+    assert cli._artifact_eval_batch(  # both score 256 -> larger batch
+        meta2, 256, 64, parser, pick="coverage") == 128
+    assert cli._artifact_eval_batch(  # "fit" would pick 128 and drop 127
+        meta2, 255, 64, parser) == 128
+
 
 def test_evaluate_cli_artifact_end_to_end(tmp_path):
     """The full deployment-QA flow: export an engine, then score the
