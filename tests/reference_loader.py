@@ -48,6 +48,21 @@ def _install_stubs():
         except AttributeError:
             setattr(np, name, alias)  # noqa: NPY001 (reference compat shim)
 
+    # the reference's vendored _pypcd imports the python-lzf C module at
+    # module import time; it isn't installed here. Provide this repo's
+    # LZF codec under the same API — tests that read uncompressed PCD
+    # modes never call it, and compressed-mode tests exercise the
+    # reference's framing logic (chunk sizes, header fields) around it.
+    try:
+        import lzf  # noqa: F401
+    except ImportError:
+        from planar_optical_flow_tpu.data import pcd as _pcd
+
+        lzf_mod = types.ModuleType("lzf")
+        lzf_mod.decompress = _pcd.lzf_decompress
+        lzf_mod.compress = _pcd.lzf_compress
+        sys.modules["lzf"] = lzf_mod
+
     if "numba" not in sys.modules:
         def _jit(*args, **kwargs):
             if len(args) == 1 and callable(args[0]) and not kwargs:
