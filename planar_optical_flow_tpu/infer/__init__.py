@@ -19,4 +19,6 @@ from planar_optical_flow_tpu.infer.calibration import (  # noqa: F401
 from planar_optical_flow_tpu.infer.export import (  # noqa: F401
     export_serving_engine,
     load_serving_engine,
+    export_model,
+    load_model,
 )

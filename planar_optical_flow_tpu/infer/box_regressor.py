@@ -77,6 +77,30 @@ class BoxRegressor:
         self.variables = variables
         return self
 
+    @classmethod
+    def from_artifact(cls, path: str, cfg: dict, **kw):
+        """Run the full box-regression API (radius crop, resample,
+        de-canonicalization) on an AOT-exported network
+        (``bin/export_model.py``) — no checkpoint or model code needed.
+        The artifact must hold a program for every batch it is called
+        with (one per detection count per frame)."""
+        from planar_optical_flow_tpu.infer.export import load_model
+
+        self = cls(None, cfg, **kw)
+        engine = load_model(path)
+        shapes = engine.meta.get("input_shapes", {})
+        for sig in shapes.values():
+            want = [sig[0]["shape"][1], sig[0]["shape"][2]]
+            in_dim = (3 if self.is_3d else 2) + (
+                1 if self.input_with_angle else 0)
+            if want != [self.input_size, in_dim]:
+                raise ValueError(
+                    f"artifact {path} expects segments of shape "
+                    f"(B, {want[0]}, {want[1]}) but the config implies "
+                    f"(B, {self.input_size}, {in_dim})")
+        self._forward = lambda v, x: engine(x)
+        return self
+
     def generate_segments(self, points: np.ndarray, det_centers: np.ndarray):
         """Radius-crop + resample one segment per detection center
         (reference ``generate_segment``, ``box_regressor.py:94-105``)."""

@@ -43,6 +43,7 @@ import numpy as np
 _META = "engine.json"
 _BOOT = "boot.bin"
 _STEP = "step.bin"
+_MODEL_META = "model.json"
 
 
 def export_serving_engine(out_dir: str, step, example_scan,
@@ -125,6 +126,122 @@ def export_serving_engine(out_dir: str, step, example_scan,
     return out_dir
 
 
+def export_model(out_dir: str, fn, example_inputs, meta: dict | None = None,
+                 ) -> str:
+    """AOT-export a STATELESS jittable ``fn(*inputs) -> outputs`` — the
+    batch-inference counterpart of :func:`export_serving_engine` for the
+    non-streaming workloads (flow U-Net scan pairs, box-regression
+    segments, fc/polar-grid detectors). Weights must be closed over in
+    ``fn``; the artifact runs without model code or checkpoint.
+
+    ``example_inputs``: a tuple of arrays / ``jax.ShapeDtypeStruct``s
+    (one program), or a LIST of such tuples (one serialized program per
+    signature, ``model_b{B}.bin``, routed on the leading batch dim of the
+    first input at load time). Writes ``model.json`` metadata. Returns
+    ``out_dir``.
+    """
+    from jax import export as jexport
+
+    sigs = (list(example_inputs) if isinstance(example_inputs, list)
+            else [tuple(example_inputs)])
+    spec_sigs = [
+        tuple(jax.ShapeDtypeStruct(np.shape(x),
+                                   getattr(x, "dtype", np.float32))
+              for x in sig)
+        for sig in sigs
+    ]
+    batches = [int(sig[0].shape[0]) for sig in spec_sigs]
+    if len(set(batches)) != len(batches):
+        raise ValueError(f"duplicate batch sizes in export: {batches}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    expected = {f"model_b{b}.bin" for b in batches}
+    for name in os.listdir(out_dir):
+        if (name.startswith("model_b") and name.endswith(".bin")
+                and name not in expected):
+            os.remove(os.path.join(out_dir, name))
+
+    platforms = None
+    input_shapes = {}
+    for sig, b in zip(spec_sigs, batches):
+        exported = jexport.export(jax.jit(fn))(*sig)
+        platforms = list(exported.platforms)
+        with open(os.path.join(out_dir, f"model_b{b}.bin"), "wb") as f:
+            f.write(exported.serialize())
+        input_shapes[str(b)] = [
+            {"shape": list(s.shape), "dtype": str(np.dtype(s.dtype))}
+            for s in sig
+        ]
+
+    info = dict(meta or {})
+    info.update({
+        "batches": sorted(batches),
+        "input_shapes": input_shapes,
+        "platforms": platforms,
+        "jax_version": jax.__version__,
+    })
+    with open(os.path.join(out_dir, _MODEL_META), "w") as f:
+        json.dump(info, f, indent=2, sort_keys=True)
+    return out_dir
+
+
+class ModelEngine:
+    """A loaded stateless-model artifact: call it like the original
+    function — ``engine(*inputs)`` — routing on the first input's batch
+    when the artifact holds several signatures. ``engine.meta`` holds the
+    metadata."""
+
+    def __init__(self, programs: dict, meta: dict):
+        self._programs = {b: jax.jit(p.call) for b, p in programs.items()}
+        self.meta = meta
+
+    def __call__(self, *inputs):
+        b = int(np.shape(inputs[0])[0])
+        if b not in self._programs:
+            raise ValueError(
+                f"no exported program for batch {b}; this artifact holds "
+                f"batches {sorted(self._programs)} (re-export with the "
+                f"batch you need, see bin/export_model.py --batch)")
+        sig = self.meta.get("input_shapes", {}).get(str(b))
+        if sig is not None:
+            if len(inputs) != len(sig):
+                raise ValueError(
+                    f"this artifact's program takes {len(sig)} input(s), "
+                    f"got {len(inputs)}")
+            for i, (x, s) in enumerate(zip(inputs, sig)):
+                if list(np.shape(x)) != list(s["shape"]):
+                    raise ValueError(
+                        f"input {i} has shape {list(np.shape(x))} but the "
+                        f"artifact was exported for {s['shape']} "
+                        f"(re-export with the shapes you need, see "
+                        f"bin/export_model.py)")
+        return self._programs[b](*inputs)
+
+
+def _check_platform(path: str, meta: dict):
+    backend = jax.default_backend()
+    platforms = [p.lower() for p in meta.get("platforms", [])]
+    if platforms and backend.lower() not in platforms:
+        raise ValueError(
+            f"artifact {path} was exported for platform(s) {platforms} "
+            f"but this host's jax backend is {backend!r}; re-export on "
+            f"the target platform")
+
+
+def load_model(path: str) -> ModelEngine:
+    """Load a directory written by :func:`export_model`."""
+    from jax import export as jexport
+
+    with open(os.path.join(path, _MODEL_META)) as f:
+        meta = json.load(f)
+    _check_platform(path, meta)
+    programs = {}
+    for b in meta["batches"]:
+        with open(os.path.join(path, f"model_b{b}.bin"), "rb") as f:
+            programs[int(b)] = jexport.deserialize(f.read())
+    return ModelEngine(programs, meta)
+
+
 class ServingEngine:
     """A loaded serving artifact. Same call contract as the live dispatch:
     ``engine(carry, scan) -> (carry', outputs)`` with ``carry=None``
@@ -167,13 +284,7 @@ def load_serving_engine(path: str) -> ServingEngine:
 
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
-    backend = jax.default_backend()
-    platforms = [p.lower() for p in meta.get("platforms", [])]
-    if platforms and backend.lower() not in platforms:
-        raise ValueError(
-            f"serving artifact {path} was exported for platform(s) "
-            f"{platforms} but this host's jax backend is {backend!r}; "
-            f"re-export on the target platform (see bin/export_serving.py)")
+    _check_platform(path, meta)
 
     def _read(name):
         with open(os.path.join(path, name), "rb") as f:

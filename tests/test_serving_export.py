@@ -441,3 +441,114 @@ def test_export_cli_multi_batch(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["--cfg", str(cfg_path), "--out", str(tmp_path / "x"),
                   "--batch", "1,zap", "--num-pts", "64", "--cpu"])
+
+
+# ==========================================================================
+# stateless-model artifacts (export_model / load_model / bin/export_model)
+# ==========================================================================
+
+
+def test_export_model_roundtrip_and_routing(tmp_path):
+    """Flow U-Net batch inference exported/reloaded bit-identically, with
+    per-batch program routing and stale-program cleanup on re-export."""
+    from planar_optical_flow_tpu.infer import export_model, load_model
+    from planar_optical_flow_tpu.models import FlowUNet
+
+    model = FlowUNet()
+    x = jnp.zeros((1, 64, 2))
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+
+    def fn(a, b):
+        return model.apply(variables, a, b, train=False)
+
+    sig = lambda b: (jax.ShapeDtypeStruct((b, 64, 2), np.float32),) * 2
+    out = export_model(str(tmp_path / "m"), fn, [sig(2), sig(5)],
+                       meta={"model_type": "flow_unet"})
+
+    engine = load_model(out)
+    assert engine.meta["batches"] == [2, 5]
+    assert engine.meta["model_type"] == "flow_unet"
+    rng = np.random.default_rng(0)
+    for b in (2, 5):
+        a = jnp.asarray(rng.normal(size=(b, 64, 2)), jnp.float32)
+        c = jnp.asarray(rng.normal(size=(b, 64, 2)), jnp.float32)
+        # the deserialized module may fuse differently than the live jit
+        # (unlike the serving pipeline's pallas-dominated program, which
+        # reproduces bit-identically) — assert tight f32 agreement
+        np.testing.assert_allclose(np.asarray(engine(a, c)),
+                                   np.asarray(fn(a, c)),
+                                   rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError, match="batch 3"):
+        engine(jnp.zeros((3, 64, 2)), jnp.zeros((3, 64, 2)))
+    # readable errors on non-batch shape / arity mismatch (instead of
+    # jax.export internals)
+    with pytest.raises(ValueError, match="exported for"):
+        engine(jnp.zeros((2, 48, 2)), jnp.zeros((2, 48, 2)))
+    with pytest.raises(ValueError, match="takes 2 input"):
+        engine(jnp.zeros((2, 64, 2)))
+
+    # re-export with a different batch list drops the stale programs
+    export_model(out, fn, [sig(4)])
+    import os
+
+    bins = sorted(f for f in os.listdir(out) if f.endswith(".bin"))
+    assert bins == ["model_b4.bin"]
+    assert load_model(out).meta["batches"] == [4]
+
+
+def test_export_model_cli_box_regressor_artifact(tmp_path):
+    """bin/export_model.py on a box-reg config; the BoxRegressor API runs
+    identically on the artifact and on the live network."""
+    import optax
+
+    import bin.export_model as cli
+    from planar_optical_flow_tpu.infer import BoxRegressor
+    from planar_optical_flow_tpu.models import get_model
+    from planar_optical_flow_tpu.train.state import create_train_state
+
+    cfg = {
+        "dataset": {"is_3d": True, "input_size": 32, "radius_segment": 0.5,
+                    "min_segment_size": 1},
+        "model": {"type": "box_reg", "input_dim": 4, "target_dim": 5},
+        "pipeline": {},  # mark as nested-style for normalize_config
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "boxreg"
+    assert cli.main(["--cfg", str(cfg_path), "--out", str(out),
+                     "--batch", "3,5", "--cpu"]) == 0
+
+    br_cfg = {"is_3d": True, "input_size": 32, "radius_segment": 0.5,
+              "input_with_angle": True, "min_segment_size": 1}
+    art = BoxRegressor.from_artifact(str(out), br_cfg)
+
+    # the CLI exported a fresh-init network (PRNGKey(0)); rebuild the same
+    # variables for the live reference
+    model = get_model(cfg["model"])
+    state = create_train_state(model, (jnp.zeros((1, 32, 4)),),
+                               optax.identity(),
+                               init_kwargs={"train": False})
+    live = BoxRegressor(state.variables, br_cfg)
+
+    rng = np.random.default_rng(2)
+    points = rng.uniform(-3, 3, (400, 3)).astype(np.float32)
+    centers = rng.uniform(-2, 2, (3, 3)).astype(np.float32)
+    boxes_a, ok_a = art(points, centers)
+    boxes_l, ok_l = live(points, centers)
+    np.testing.assert_array_equal(ok_a, ok_l)
+    np.testing.assert_allclose(boxes_a, boxes_l, rtol=1e-5, atol=1e-5)
+    assert boxes_a.shape == (3, 7)
+
+    # a config that disagrees with the artifact's input signature raises
+    with pytest.raises(ValueError, match="expects segments"):
+        BoxRegressor.from_artifact(str(out), dict(br_cfg, input_size=16))
+
+
+def test_export_model_cli_rejects_streaming(tmp_path):
+    import bin.export_model as cli
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump({"network": "cutout_spatial"}))
+    with pytest.raises(SystemExit):
+        cli.main(["--cfg", str(cfg_path), "--out", str(tmp_path / "x"),
+                  "--cpu"])
