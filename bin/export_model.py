@@ -45,23 +45,20 @@ def main(argv=None):
                              "comma list exports one program per batch "
                              "and the loaded engine routes on the "
                              "input's batch")
+    parser.add_argument("--num-pts", type=int, default=450,
+                        help="points per scan baked into flow / fc "
+                             "exports (box_reg uses the dataset's "
+                             "input_size instead)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
-    try:
-        batches = [int(b) for b in str(args.batch).split(",") if b.strip()]
-    except ValueError:
-        parser.error(f"--batch must be an int or comma list of ints, "
-                     f"got {args.batch!r}")
-    if not batches or any(b < 1 for b in batches):
-        parser.error(f"--batch sizes must be >= 1, got {args.batch!r}")
+    from planar_optical_flow_tpu.utils.cli import (force_cpu_backend,
+                                                   parse_batches)
 
+    batches = parse_batches(parser, args.batch)
     if args.cpu:
-        import jax
+        force_cpu_backend()
 
-        jax.config.update("jax_platforms", "cpu")
-
-    import jax
     import optax
 
     from planar_optical_flow_tpu.infer.export import export_model
@@ -80,7 +77,8 @@ def main(argv=None):
             f"export it with bin/export_serving.py")
     model = get_model(cfg["model"])
 
-    state = create_train_state(model, _example_inputs(cfg, 1),
+    state = create_train_state(model, _example_inputs(cfg, 1,
+                                                      num_pts=args.num_pts),
                                optax.identity(),
                                init_kwargs={"train": False})
     if args.ckpt:
@@ -90,7 +88,7 @@ def main(argv=None):
     def fn(*inputs):
         return model.apply(variables, *inputs, train=False)
 
-    sigs = [_example_inputs(cfg, b) for b in batches]
+    sigs = [_example_inputs(cfg, b, num_pts=args.num_pts) for b in batches]
     export_model(args.out, fn, sigs, meta={
         "model_type": mtype,
         "cfg": os.path.abspath(args.cfg),

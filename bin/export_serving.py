@@ -53,21 +53,12 @@ def main(argv=None):
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
-    # validate --batch before the expensive model build / checkpoint
-    # restore / serving-step construction (minutes on a remote chip) so
-    # a CLI typo fails instantly
-    try:
-        batches = [int(b) for b in str(args.batch).split(",") if b.strip()]
-    except ValueError:
-        parser.error(f"--batch must be an int or comma list of ints, "
-                     f"got {args.batch!r}")
-    if not batches or any(b < 1 for b in batches):
-        parser.error(f"--batch sizes must be >= 1, got {args.batch!r}")
+    from planar_optical_flow_tpu.utils.cli import (force_cpu_backend,
+                                                   parse_batches)
 
+    batches = parse_batches(parser, args.batch)
     if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+        force_cpu_backend()
 
     import jax
     import numpy as np

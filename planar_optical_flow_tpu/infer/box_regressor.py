@@ -45,7 +45,8 @@ class BoxRegressor:
     ``radius_segment``, ``is_3d``, ``input_with_angle``.
     """
 
-    def __init__(self, variables, cfg: dict, seed: int = 0):
+    def __init__(self, variables, cfg: dict, seed: int = 0,
+                 _build_network: bool = True):
         self.cfg = cfg
         self.is_3d = cfg.get("is_3d", True)
         self.input_size = cfg.get("input_size", 256)
@@ -53,17 +54,20 @@ class BoxRegressor:
         self.input_with_angle = cfg.get("input_with_angle", True)
         self.min_segment_size = cfg.get("min_segment_size", 1)
         self._rng = np.random.default_rng(seed)
+        self.in_dim = (3 if self.is_3d else 2) + (
+            1 if self.input_with_angle else 0)
 
-        in_dim = (3 if self.is_3d else 2) + (1 if self.input_with_angle else 0)
-        tgt_dim = 5 if self.is_3d else 3
-        self.model = BoundingBoxRegressor(
-            input_dim=in_dim, target_dim=tgt_dim,
-            dropout=cfg.get("dropout", 0.0),
-        )
+        self.model = None
         self.variables = variables
-        self._forward = jax.jit(
-            lambda v, x: self.model.apply(v, x, train=False)
-        )
+        if _build_network:
+            tgt_dim = 5 if self.is_3d else 3
+            self.model = BoundingBoxRegressor(
+                input_dim=self.in_dim, target_dim=tgt_dim,
+                dropout=cfg.get("dropout", 0.0),
+            )
+            self._forward = jax.jit(
+                lambda v, x: self.model.apply(v, x, train=False)
+            )
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, cfg: dict, **kw):
@@ -82,23 +86,52 @@ class BoxRegressor:
         """Run the full box-regression API (radius crop, resample,
         de-canonicalization) on an AOT-exported network
         (``bin/export_model.py``) — no checkpoint or model code needed.
-        The artifact must hold a program for every batch it is called
-        with (one per detection count per frame)."""
+
+        Detection counts need not match the exported batch sizes: frames
+        are padded to the smallest exported batch that fits (chunked over
+        the largest for bigger frames) and the pad rows dropped — exact,
+        because the eval-mode forward is per-sample independent.
+        """
         from planar_optical_flow_tpu.infer.export import load_model
 
-        self = cls(None, cfg, **kw)
+        self = cls(None, cfg, _build_network=False, **kw)
         engine = load_model(path)
-        shapes = engine.meta.get("input_shapes", {})
-        for sig in shapes.values():
+        mtype = engine.meta.get("model_type")
+        if mtype is not None and mtype != "box_reg":
+            raise ValueError(
+                f"artifact {path} holds a {mtype!r} model, not a box "
+                f"regressor")
+        for sig in engine.meta.get("input_shapes", {}).values():
+            if len(sig) != 1 or len(sig[0]["shape"]) != 3:
+                raise ValueError(
+                    f"artifact {path} is not a box-regression export "
+                    f"(expected one (B, num_pts, dim) input, got "
+                    f"{[s['shape'] for s in sig]})")
             want = [sig[0]["shape"][1], sig[0]["shape"][2]]
-            in_dim = (3 if self.is_3d else 2) + (
-                1 if self.input_with_angle else 0)
-            if want != [self.input_size, in_dim]:
+            if want != [self.input_size, self.in_dim]:
                 raise ValueError(
                     f"artifact {path} expects segments of shape "
                     f"(B, {want[0]}, {want[1]}) but the config implies "
-                    f"(B, {self.input_size}, {in_dim})")
-        self._forward = lambda v, x: engine(x)
+                    f"(B, {self.input_size}, {self.in_dim})")
+
+        exported = sorted(engine.meta["batches"])
+
+        def fwd(_, x):
+            x = jnp.asarray(x)
+            outs, i, n = [], 0, x.shape[0]
+            while i < n:
+                take = min(exported[-1], n - i)
+                b = next(e for e in exported if e >= take)
+                chunk = x[i:i + take]
+                if take < b:
+                    pad = jnp.broadcast_to(
+                        chunk[:1], (b - take,) + chunk.shape[1:])
+                    chunk = jnp.concatenate([chunk, pad], axis=0)
+                outs.append(engine(chunk)[:take])
+                i += take
+            return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+        self._forward = fwd
         return self
 
     def generate_segments(self, points: np.ndarray, det_centers: np.ndarray):

@@ -154,24 +154,31 @@ def export_model(out_dir: str, fn, example_inputs, meta: dict | None = None,
     if len(set(batches)) != len(batches):
         raise ValueError(f"duplicate batch sizes in export: {batches}")
 
+    # serialize every program BEFORE touching the output directory, so a
+    # failed or interrupted re-export cannot brick a previously valid
+    # artifact (stale bins removed + meta written only after all exports
+    # succeeded)
+    platforms = None
+    input_shapes = {}
+    blobs = {}
+    for sig, b in zip(spec_sigs, batches):
+        exported = jexport.export(jax.jit(fn))(*sig)
+        platforms = list(exported.platforms)
+        blobs[b] = exported.serialize()
+        input_shapes[str(b)] = [
+            {"shape": list(s.shape), "dtype": str(np.dtype(s.dtype))}
+            for s in sig
+        ]
+
     os.makedirs(out_dir, exist_ok=True)
     expected = {f"model_b{b}.bin" for b in batches}
     for name in os.listdir(out_dir):
         if (name.startswith("model_b") and name.endswith(".bin")
                 and name not in expected):
             os.remove(os.path.join(out_dir, name))
-
-    platforms = None
-    input_shapes = {}
-    for sig, b in zip(spec_sigs, batches):
-        exported = jexport.export(jax.jit(fn))(*sig)
-        platforms = list(exported.platforms)
+    for b, blob in blobs.items():
         with open(os.path.join(out_dir, f"model_b{b}.bin"), "wb") as f:
-            f.write(exported.serialize())
-        input_shapes[str(b)] = [
-            {"shape": list(s.shape), "dtype": str(np.dtype(s.dtype))}
-            for s in sig
-        ]
+            f.write(blob)
 
     info = dict(meta or {})
     info.update({
@@ -180,8 +187,10 @@ def export_model(out_dir: str, fn, example_inputs, meta: dict | None = None,
         "platforms": platforms,
         "jax_version": jax.__version__,
     })
-    with open(os.path.join(out_dir, _MODEL_META), "w") as f:
+    tmp = os.path.join(out_dir, _MODEL_META + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(info, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, _MODEL_META))
     return out_dir
 
 
@@ -215,6 +224,11 @@ class ModelEngine:
                         f"artifact was exported for {s['shape']} "
                         f"(re-export with the shapes you need, see "
                         f"bin/export_model.py)")
+                got = str(np.dtype(getattr(x, "dtype", np.asarray(x).dtype)))
+                if got != s["dtype"]:
+                    raise ValueError(
+                        f"input {i} has dtype {got} but the artifact was "
+                        f"exported for {s['dtype']}")
         return self._programs[b](*inputs)
 
 

@@ -179,11 +179,11 @@ def _build_datasets(cfg: dict, synthetic_dir: str | None = None):
     return train, val
 
 
-def _example_inputs(cfg: dict, batch_size: int):
+def _example_inputs(cfg: dict, batch_size: int, num_pts: int = 450):
     mtype = cfg["model"]["type"]
     ds = cfg["dataset"]
     if mtype in ("flow_unet", "prototype", "prototype_test"):
-        x = jnp.zeros((batch_size, 450, 2))
+        x = jnp.zeros((batch_size, num_pts, 2))
         return (x, x)
     if mtype == "box_reg":
         in_dim = cfg["model"].get("input_dim", 4)
@@ -201,10 +201,10 @@ def _example_inputs(cfg: dict, batch_size: int):
             pg = ds.get("polar_grid_kwargs", {})
             r = int((pg.get("max_range", 30.0) - pg.get("min_range", 0.0))
                     / pg.get("range_bin_size", 1.0)) + 1
-        return (jnp.zeros((batch_size, s, r, 450)),)
-    x = jnp.zeros((batch_size, 450, s, n_ct))
+        return (jnp.zeros((batch_size, s, r, num_pts)),)
+    x = jnp.zeros((batch_size, num_pts, s, n_ct))
     if mtype == "flow_drow":
-        return (x, jnp.zeros((batch_size, 450)))
+        return (x, jnp.zeros((batch_size, num_pts)))
     return (x,)
 
 

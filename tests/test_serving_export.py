@@ -480,12 +480,28 @@ def test_export_model_roundtrip_and_routing(tmp_path):
                                    rtol=1e-4, atol=1e-4)
     with pytest.raises(ValueError, match="batch 3"):
         engine(jnp.zeros((3, 64, 2)), jnp.zeros((3, 64, 2)))
-    # readable errors on non-batch shape / arity mismatch (instead of
-    # jax.export internals)
+    # readable errors on non-batch shape / arity / dtype mismatch
+    # (instead of jax.export internals)
     with pytest.raises(ValueError, match="exported for"):
         engine(jnp.zeros((2, 48, 2)), jnp.zeros((2, 48, 2)))
     with pytest.raises(ValueError, match="takes 2 input"):
         engine(jnp.zeros((2, 64, 2)))
+    with pytest.raises(ValueError, match="dtype"):
+        engine(jnp.zeros((2, 64, 2), jnp.int32), jnp.zeros((2, 64, 2)))
+
+    # a failed re-export must NOT brick the existing artifact (programs
+    # are serialized before the directory is touched)
+    def bad_fn(a, b):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        export_model(out, bad_fn, [sig(7)])
+    again = load_model(out)
+    assert again.meta["batches"] == [2, 5]
+    np.testing.assert_allclose(
+        np.asarray(again(jnp.zeros((2, 64, 2)), jnp.zeros((2, 64, 2)))),
+        np.asarray(fn(jnp.zeros((2, 64, 2)), jnp.zeros((2, 64, 2)))),
+        rtol=1e-4, atol=1e-4)
 
     # re-export with a different batch list drops the stale programs
     export_model(out, fn, [sig(4)])
@@ -532,16 +548,42 @@ def test_export_model_cli_box_regressor_artifact(tmp_path):
 
     rng = np.random.default_rng(2)
     points = rng.uniform(-3, 3, (400, 3)).astype(np.float32)
-    centers = rng.uniform(-2, 2, (3, 3)).astype(np.float32)
-    boxes_a, ok_a = art(points, centers)
-    boxes_l, ok_l = live(points, centers)
-    np.testing.assert_array_equal(ok_a, ok_l)
-    np.testing.assert_allclose(boxes_a, boxes_l, rtol=1e-5, atol=1e-5)
-    assert boxes_a.shape == (3, 7)
+    # detection counts that hit every routing path of the artifact
+    # forward: exact program (3), pad to the next exported batch (4 -> 5),
+    # and chunk over the largest + pad the tail (12 -> 5+5+pad(2->3)) —
+    # exact because the eval forward is per-sample independent
+    for n_det in (3, 4, 12):
+        centers = rng.uniform(-2, 2, (n_det, 3)).astype(np.float32)
+        boxes_a, ok_a = art(points, centers)
+        boxes_l, ok_l = live(points, centers)
+        np.testing.assert_array_equal(ok_a, ok_l)
+        np.testing.assert_allclose(boxes_a, boxes_l, rtol=1e-5, atol=2e-5)
+        assert boxes_a.shape == (n_det, 7)
 
     # a config that disagrees with the artifact's input signature raises
     with pytest.raises(ValueError, match="expects segments"):
         BoxRegressor.from_artifact(str(out), dict(br_cfg, input_size=16))
+
+    # a wrong-model artifact is rejected at load, not at call time
+    from planar_optical_flow_tpu.models import FlowUNet
+
+    fmodel = FlowUNet()
+    x0 = jnp.zeros((1, 32, 2))
+    fvars = fmodel.init(jax.random.PRNGKey(0), x0, x0, train=False)
+    from planar_optical_flow_tpu.infer import export_model
+
+    flow_art = export_model(
+        str(tmp_path / "flow"),
+        lambda a, b: fmodel.apply(fvars, a, b, train=False),
+        [(jax.ShapeDtypeStruct((2, 32, 2), np.float32),) * 2],
+        meta={"model_type": "flow_unet"})
+    with pytest.raises(ValueError, match="not a box"):
+        BoxRegressor.from_artifact(flow_art, br_cfg)
+
+    # CLI rejects duplicate batch sizes instantly
+    with pytest.raises(SystemExit):
+        cli.main(["--cfg", str(cfg_path), "--out", str(tmp_path / "dup"),
+                  "--batch", "3,3", "--cpu"])
 
 
 def test_export_model_cli_rejects_streaming(tmp_path):
