@@ -87,11 +87,14 @@ class BatchLoader:
         stop = object()
 
         def worker():
+            # a worker error must reach the consumer — swallowing it would
+            # silently truncate the epoch
             try:
                 for c in chunks:
                     q.put(self._make_batch(c))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -99,5 +102,8 @@ class BatchLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()

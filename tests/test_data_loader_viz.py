@@ -53,6 +53,25 @@ def test_loader_shuffle_deterministic():
     assert sorted(all_idx.tolist()) == list(range(16))
 
 
+def test_loader_prefetch_propagates_worker_error():
+    """A dataset error inside the prefetch thread must raise in the
+    consumer, not silently truncate the epoch."""
+
+    class _Poisoned(_ToyDataset):
+        def batch(self, idx):
+            if np.min(idx) >= 8:  # third batch of 4
+                raise RuntimeError("corrupt sample")
+            return super().batch(idx)
+
+    loader = BatchLoader(_Poisoned(16), batch_size=4, shuffle=False,
+                         prefetch=2)
+    seen = 0
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        for _ in loader:
+            seen += 1
+    assert seen == 2
+
+
 def test_loader_prefetch_matches_sync():
     sync = list(BatchLoader(_ToyDataset(12), 4, seed=1, prefetch=0))
     pre = list(BatchLoader(_ToyDataset(12), 4, seed=1, prefetch=2))
