@@ -119,9 +119,23 @@ class BoxRegressor:
         def fwd(_, x):
             x = jnp.asarray(x)
             outs, i, n = [], 0, x.shape[0]
+            if n == 0:
+                # run the smallest program on a dummy row and keep none of
+                # it: output width/dtype come from the export, no rows do
+                dummy = jnp.zeros((exported[0],) + x.shape[1:], x.dtype)
+                return engine(dummy)[:0]
             while i < n:
-                take = min(exported[-1], n - i)
-                b = next(e for e in exported if e >= take)
+                rem = n - i
+                fit = next((e for e in exported if e >= rem), None)
+                le = [e for e in exported if e <= rem]
+                # pad the whole remainder iff that costs no more rows than
+                # chunking it at the largest fitting size (ties -> fewer
+                # dispatches); otherwise consume one full chunk
+                if fit is not None and (
+                        not le or fit <= le[-1] * -(-rem // le[-1])):
+                    b, take = fit, rem
+                else:
+                    b = take = le[-1]
                 chunk = x[i:i + take]
                 if take < b:
                     pad = jnp.broadcast_to(
@@ -139,6 +153,9 @@ class BoxRegressor:
         (reference ``generate_segment``, ``box_regressor.py:94-105``)."""
         segs, ok = [], []
         dim = 3 if self.is_3d else 2
+        if len(det_centers) == 0:
+            return (np.zeros((0, self.input_size, dim), np.float32),
+                    np.zeros((0,), bool))
         pts = points[:, :dim]
         for c in det_centers:
             d = np.linalg.norm(pts[:, :2] - c[None, :2], axis=1)
@@ -164,6 +181,9 @@ class BoxRegressor:
         """
         det_centers = np.atleast_2d(det_centers)
         n = len(det_centers)
+        if n == 0:
+            width = 7 if self.is_3d else 5
+            return np.zeros((0, width), np.float32), np.zeros((0,), bool)
         if det_oris is None:
             det_oris = np.zeros(n, np.float32)
         segs, ok = self.generate_segments(points, det_centers)

@@ -170,15 +170,17 @@ def export_model(out_dir: str, fn, example_inputs, meta: dict | None = None,
             for s in sig
         ]
 
+    # write order keeps the artifact loadable at every crash point: new
+    # bins land via tmp-file + os.replace (a same-batch re-export never
+    # truncates a bin the current meta references), then the meta is
+    # atomically replaced, and only then are bins the new meta no longer
+    # lists removed.
     os.makedirs(out_dir, exist_ok=True)
-    expected = {f"model_b{b}.bin" for b in batches}
-    for name in os.listdir(out_dir):
-        if (name.startswith("model_b") and name.endswith(".bin")
-                and name not in expected):
-            os.remove(os.path.join(out_dir, name))
     for b, blob in blobs.items():
-        with open(os.path.join(out_dir, f"model_b{b}.bin"), "wb") as f:
+        tmp_bin = os.path.join(out_dir, f"model_b{b}.bin.tmp")
+        with open(tmp_bin, "wb") as f:
             f.write(blob)
+        os.replace(tmp_bin, os.path.join(out_dir, f"model_b{b}.bin"))
 
     info = dict(meta or {})
     info.update({
@@ -191,6 +193,12 @@ def export_model(out_dir: str, fn, example_inputs, meta: dict | None = None,
     with open(tmp, "w") as f:
         json.dump(info, f, indent=2, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, _MODEL_META))
+
+    expected = {f"model_b{b}.bin" for b in batches}
+    for name in os.listdir(out_dir):
+        if (name.startswith("model_b") and name.endswith(".bin")
+                and name not in expected):
+            os.remove(os.path.join(out_dir, name))
     return out_dir
 
 

@@ -594,3 +594,121 @@ def test_export_model_cli_rejects_streaming(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["--cfg", str(cfg_path), "--out", str(tmp_path / "x"),
                   "--cpu"])
+
+
+def test_export_model_interrupted_reexport_stays_loadable(tmp_path,
+                                                          monkeypatch):
+    """A re-export killed between the bin writes and the meta replace must
+    leave the PREVIOUS artifact fully loadable: bins land via tmp+replace
+    first, the meta flips atomically, and only then are stale bins pruned
+    (fault-injected at the meta replace)."""
+    import os
+
+    from planar_optical_flow_tpu.infer import export_model, load_model
+
+    def fn(a):
+        return a * 2.0
+
+    sig = lambda b: (jax.ShapeDtypeStruct((b, 8), np.float32),)
+    out = export_model(str(tmp_path / "m"), fn, [sig(2), sig(5)])
+
+    real_replace = os.replace
+
+    def dying_replace(src, dst):
+        if dst.endswith("model.json"):
+            raise OSError("injected crash at meta replace")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", dying_replace)
+    with pytest.raises(OSError, match="injected"):
+        export_model(str(tmp_path / "m"), fn, [sig(4)])
+    monkeypatch.undo()
+
+    # old meta survives and every bin it references still exists
+    engine = load_model(str(tmp_path / "m"))
+    assert engine.meta["batches"] == [2, 5]
+    np.testing.assert_allclose(
+        np.asarray(engine(jnp.ones((2, 8), jnp.float32))), 2.0)
+    # no partially-written bins (the meta tmp itself is the crash residue
+    # and is ignored by load); a successful re-export leaves no tmp at all
+    assert not [f for f in os.listdir(tmp_path / "m")
+                if f.endswith(".bin.tmp")]
+    export_model(str(tmp_path / "m"), fn, [sig(4)])
+    assert not [f for f in os.listdir(tmp_path / "m") if ".tmp" in f]
+    assert load_model(str(tmp_path / "m")).meta["batches"] == [4]
+
+
+def test_box_regressor_artifact_chunk_routing(monkeypatch):
+    """The artifact forward consumes full chunks of the largest exported
+    batch that fits and only pads the remainder — a mid-range detection
+    count must not run the largest program with mostly pad rows."""
+    from planar_optical_flow_tpu.infer import box_regressor as brmod
+    from planar_optical_flow_tpu.infer import BoxRegressor
+
+    cfg = {"is_3d": True, "input_size": 8, "radius_segment": 0.5,
+           "input_with_angle": True, "min_segment_size": 1}
+    calls = []
+
+    class FakeEngine:
+        meta = {
+            "model_type": "box_reg",
+            "batches": [2, 16],
+            "input_shapes": {
+                "2": [{"shape": [2, 8, 4], "dtype": "float32"}],
+                "16": [{"shape": [16, 8, 4], "dtype": "float32"}],
+            },
+        }
+
+        def __call__(self, x):
+            b = int(x.shape[0])
+            assert b in (2, 16), f"un-exported batch {b} dispatched"
+            calls.append(b)
+            return jnp.asarray(np.asarray(x)[:, 0, :2] * 0 + b,
+                               jnp.float32)
+
+    monkeypatch.setattr("planar_optical_flow_tpu.infer.export.load_model",
+                        lambda path: FakeEngine())
+    art = BoxRegressor.from_artifact("fake", cfg)
+
+    # 3 rows: two 2-programs (4 rows) beat one 16-program (16 rows)
+    calls.clear()
+    out = art._forward(None, jnp.zeros((3, 8, 4), jnp.float32))
+    assert calls == [2, 2] and out.shape[0] == 3
+    # 15 rows: pad-to-16 (16 rows, 1 dispatch) ties 8x2 (16 rows) -> fewer
+    # dispatches wins
+    calls.clear()
+    out = art._forward(None, jnp.zeros((15, 8, 4), jnp.float32))
+    assert calls == [16] and out.shape[0] == 15
+    # 17 rows: one full 16 chunk + the remainder on the 2-program
+    calls.clear()
+    out = art._forward(None, jnp.zeros((17, 8, 4), jnp.float32))
+    assert calls == [16, 2] and out.shape[0] == 17
+    # 0 rows: no crash, empty result (dummy dispatch allowed)
+    calls.clear()
+    out = art._forward(None, jnp.zeros((0, 8, 4), jnp.float32))
+    assert out.shape[0] == 0
+
+
+def test_box_regressor_empty_detections():
+    """A frame with no detections returns the natural empty outputs on the
+    product API (deployment-routine case) instead of crashing in
+    np.stack/generate_segments."""
+    import optax
+
+    from planar_optical_flow_tpu.infer import BoxRegressor
+    from planar_optical_flow_tpu.models import get_model
+    from planar_optical_flow_tpu.train.state import create_train_state
+
+    cfg = {"is_3d": True, "input_size": 8, "radius_segment": 0.5,
+           "input_with_angle": True, "min_segment_size": 1}
+    model = get_model({"type": "box_reg", "input_dim": 4, "target_dim": 5})
+    state = create_train_state(model, (jnp.zeros((1, 8, 4)),),
+                               optax.identity(),
+                               init_kwargs={"train": False})
+    br = BoxRegressor(state.variables, cfg)
+    points = np.random.default_rng(0).uniform(-2, 2, (50, 3)).astype(
+        np.float32)
+    boxes, ok = br(points, np.zeros((0, 3), np.float32))
+    assert boxes.shape == (0, 7) and ok.shape == (0,)
+    segs, ok2 = br.generate_segments(points, np.zeros((0, 3), np.float32))
+    assert segs.shape == (0, 8, 3) and ok2.shape == (0,)
