@@ -13,3 +13,7 @@ from planar_optical_flow_tpu.parallel.mesh import (  # noqa: F401
 from planar_optical_flow_tpu.parallel.context_parallel import (  # noqa: F401
     gate_step_context_parallel,
 )
+from planar_optical_flow_tpu.parallel.pipeline_parallel import (  # noqa: F401
+    pipeline_apply,
+    drow_pipeline_stages,
+)

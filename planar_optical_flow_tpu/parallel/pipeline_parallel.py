@@ -1,0 +1,233 @@
+"""Pipeline parallelism (GPipe wavefront) over a mesh axis.
+
+Completes the parallelism axes from SURVEY §2.11 alongside data
+(``mesh.py``), tensor (``default_partition_rule``) and context
+(``context_parallel.py``) parallelism: :func:`pipeline_apply` runs a
+chain of heterogeneous stage functions as a GPipe schedule over the
+devices of one mesh axis — microbatches enter stage 0, flow device to
+device via ``jax.lax.ppermute`` (one neighbor hop per tick, riding ICI),
+and every device computes a different stage of the model each tick.
+
+Design notes (TPU/XLA-first, no reference counterpart — the reference
+has no distributed execution at all):
+
+* The schedule is a single ``lax.scan`` over ``M + n_stages - 1`` ticks
+  — traced once, no Python-level step loop, fully jittable and
+  differentiable (``jax.grad`` through the scan + ppermute yields the
+  reverse-order backward wavefront automatically; the transpose of the
+  forward ppermute is the activation-grad ppermute backwards).
+* Stages are HETEROGENEOUS: inter-stage activations are packed into one
+  fixed ``(microbatch, max_flat)`` buffer (per-stage pytrees are
+  flattened, concatenated and zero-padded), because a single SPMD
+  ``ppermute`` needs a uniform shape on every device. Shapes are
+  resolved once with ``jax.eval_shape``; the padding is dead lanes, not
+  dead compute.
+* Stage dispatch is ``lax.switch`` on ``lax.axis_index`` — every device
+  traces all stages once but executes only its own; gradients for the
+  untaken branches are structural zeros, so after the closing ``psum``
+  each stage's parameter gradients are exactly the sequential ones.
+* What this buys at this repo's model sizes: the detector train step is
+  activation-bound (``experiments/probe_train_batch_scaling.py``: OOM at
+  batch 64) — pipelining shards the live activations over stages while
+  parameters (sub-MB here) stay replicated. At transformer scale the
+  same schedule would shard parameters per stage; the mechanism is
+  identical.
+
+The bubble fraction is the textbook ``(n_stages - 1) / (M + n_stages
+- 1)``; callers pick ``n_microbatches`` >= ``n_stages`` to amortize it.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import PartitionSpec as P
+
+
+def _leaf_shapes(tree):
+    """(treedef, per-leaf trailing shapes, dtype) for a (mb, ...) pytree."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    shapes = tuple(tuple(l.shape[1:]) for l in leaves)
+    dtypes = {jnp.dtype(l.dtype) for l in leaves}
+    if len(dtypes) != 1:
+        raise ValueError(
+            f"pipeline stages must exchange a single dtype, got {dtypes}"
+        )
+    return treedef, shapes, dtypes.pop()
+
+
+def _flat_size(shapes) -> int:
+    return sum(int(math.prod(s)) for s in shapes)
+
+
+def _pack(tree, mb: int, max_flat: int):
+    """Flatten a (mb, ...) pytree into one zero-padded (mb, max_flat) row."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    flat = jnp.concatenate([l.reshape(mb, -1) for l in leaves], axis=1)
+    return jnp.pad(flat, ((0, 0), (0, max_flat - flat.shape[1])))
+
+
+def _unpack(buf, mb: int, treedef, shapes):
+    parts, off = [], 0
+    for s in shapes:
+        n = int(math.prod(s))
+        parts.append(buf[:, off:off + n].reshape((mb,) + s))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, parts)
+
+
+def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
+                   n_microbatches: int | None = None):
+    """Apply ``stage_fns[n-1](p[n-1], ... stage_fns[0](p[0], x))`` as a
+    GPipe wavefront over ``mesh.shape[axis]`` devices.
+
+    Args:
+      stage_fns: one callable per device on the axis; stage ``i`` maps
+        ``(stage_params[i], activations_i) -> activations_{i+1}``. Inputs
+        and outputs are pytrees of arrays with a leading microbatch dim;
+        shapes may differ per stage (packed into a uniform transfer
+        buffer internally).
+      stage_params: sequence of per-stage parameter pytrees (replicated
+        to every device; only stage ``i``'s device reads entry ``i``).
+      x: input pytree with leading batch dim ``B``; split into
+        ``n_microbatches`` equal microbatches along axis 0.
+      mesh: a ``jax.sharding.Mesh`` containing ``axis``.
+      n_microbatches: defaults to ``mesh.shape[axis]``; must divide ``B``.
+
+    Returns the last stage's output pytree with leading dim ``B``. Each
+    microbatch runs the exact sequential stage chain — the schedule adds
+    no re-association; the only numeric delta vs the unstaged forward is
+    XLA lowering smaller per-microbatch matmuls differently (1-ulp).
+    """
+    n = int(mesh.shape[axis])
+    stage_fns = tuple(stage_fns)
+    stage_params = tuple(stage_params)
+    if len(stage_fns) != n:
+        raise ValueError(
+            f"{len(stage_fns)} stages but mesh axis {axis!r} has {n} devices"
+        )
+    if len(stage_params) != n:
+        raise ValueError(
+            f"{len(stage_params)} param trees for {n} stages"
+        )
+    batch = jax.tree_util.tree_leaves(x)[0].shape[0]
+    m = n if n_microbatches is None else int(n_microbatches)
+    if batch % m:
+        raise ValueError(f"batch {batch} not divisible by {m} microbatches")
+    mb = batch // m
+
+    # microbatch the input: every leaf (B, ...) -> (M, mb, ...)
+    x_mb = jax.tree_util.tree_map(
+        lambda l: l.reshape((m, mb) + l.shape[1:]), x
+    )
+
+    # resolve the per-stage IO structure once, abstractly
+    io = []  # per stage: (in_treedef, in_shapes, out_treedef, out_shapes)
+    cur = jax.eval_shape(
+        lambda t: jax.tree_util.tree_map(lambda l: l[0], t), x_mb
+    )
+    dtype = None
+    for fn, p in zip(stage_fns, stage_params):
+        in_td, in_sh, in_dt = _leaf_shapes(cur)
+        cur = jax.eval_shape(fn, p, cur)
+        out_td, out_sh, out_dt = _leaf_shapes(cur)
+        if dtype is None:
+            dtype = in_dt
+        if in_dt != dtype or out_dt != dtype:
+            raise ValueError(
+                f"pipeline stages must exchange a single dtype, got "
+                f"{in_dt}/{out_dt} vs {dtype}"
+            )
+        io.append((in_td, in_sh, out_td, out_sh))
+    max_flat = max(
+        max(_flat_size(s[1]), _flat_size(s[3])) for s in io
+    )
+    out_treedef, out_shapes = io[-1][2], io[-1][3]
+
+    def stage_branch(i, params_tuple, buf):
+        in_td, in_sh, _, _ = io[i]
+        xin = _unpack(buf[:, :_flat_size(in_sh)], mb, in_td, in_sh)
+        y = stage_fns[i](params_tuple[i], xin)
+        return _pack(y, mb, max_flat)
+
+    branches = tuple(
+        functools.partial(stage_branch, i) for i in range(n)
+    )
+    fwd_perm = [(i, i + 1) for i in range(n - 1)]
+
+    def spmd(params_tuple, x_mb):
+        d = lax.axis_index(axis)
+
+        def tick(buf, t):
+            mb_idx = t - d
+            active = (mb_idx >= 0) & (mb_idx < m)
+            # stage 0 injects its microbatch from the input feed; every
+            # other stage consumes the buffer ppermuted in last tick
+            x0 = _pack(
+                jax.tree_util.tree_map(
+                    lambda l: l[jnp.clip(mb_idx, 0, m - 1)], x_mb
+                ),
+                mb, max_flat,
+            )
+            inbuf = jnp.where(d == 0, x0, buf)
+            out = lax.switch(d, branches, params_tuple, inbuf)
+            out = jnp.where(active, out, jnp.zeros_like(out))
+            nxt = (
+                lax.ppermute(out, axis, fwd_perm) if n > 1
+                else jnp.zeros_like(out)
+            )
+            return nxt, out
+
+        buf0 = jnp.zeros((mb, max_flat), dtype)
+        _, outs = lax.scan(tick, buf0, jnp.arange(m + n - 1))
+        # on the LAST device, tick t emitted microbatch t - (n - 1);
+        # zero every other device and psum so the result is replicated
+        ys = outs[n - 1:]
+        ys = jnp.where(d == n - 1, ys, jnp.zeros_like(ys))
+        return lax.psum(ys, axis)
+
+    rep = P()
+    ys = shard_map(
+        spmd, mesh=mesh,
+        in_specs=(rep, rep), out_specs=rep,
+        check_vma=False,
+    )(stage_params, x_mb)
+
+    flat = ys.reshape(batch, max_flat)
+    return _unpack(flat[:, :_flat_size(out_shapes)], batch,
+                   out_treedef, out_shapes)
+
+
+def drow_pipeline_stages(model, variables, train: bool = False):
+    """Split the DROW/DR-SPAAM detector forward into its two natural
+    pipeline stages (per-cutout backbone+temporal fusion | post-fusion
+    head), each as a ``(params, x) -> y`` stage function for
+    :func:`pipeline_apply`.
+
+    The detector's only cross-cutout op (the spatial gate) sits between
+    these stages in SpatialDROW; the plain DROW forward is a pure chain
+    (reference ``dr_spaam.py:41-121``) and stages exactly. Both stages
+    close over the full variable tree (parameters here are sub-MB;
+    activations are what pipelining shards — see module docstring).
+    """
+
+    def stage_backbone(v, x):
+        fused = model.apply(
+            v, x, train,
+            method=lambda mdl, xx, tr: jnp.sum(
+                mdl.encode_cutouts(xx, train=tr), axis=2
+            ),
+        )
+        return fused
+
+    def stage_head(v, fused):
+        return model.apply(
+            v, fused, train,
+            method=lambda mdl, ff, tr: mdl.fused_head(ff, train=tr),
+        )
+
+    return (stage_backbone, stage_head), (variables, variables)

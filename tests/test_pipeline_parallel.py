@@ -1,0 +1,139 @@
+"""GPipe pipeline parallelism: forward/grad parity vs the sequential chain.
+
+The schedule (parallel/pipeline_parallel.py) runs each microbatch through
+the exact sequential stage chain — the only numeric difference vs the
+unstaged forward is that XLA may lower the smaller per-microbatch matmuls
+differently (1-ulp effects), so parity is tight-tolerance, and exact when
+the microbatch equals the batch lowering. Grad parity exercises the
+backward wavefront that autodiff derives through the scan + ppermute +
+switch.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from planar_optical_flow_tpu.parallel import (
+    make_mesh_from_config,
+    pipeline_apply,
+    drow_pipeline_stages,
+)
+
+
+def _mlp_stages(rng, widths=(6, 16, 12, 8, 4)):
+    """Heterogeneous dense stages (different in/out widths per stage)."""
+    params = []
+    for din, dout in zip(widths[:-1], widths[1:]):
+        params.append({
+            "w": jnp.asarray(rng.normal(0, 0.5, (din, dout)), jnp.float32),
+            "b": jnp.asarray(rng.normal(0, 0.1, (dout,)), jnp.float32),
+        })
+
+    def stage(p, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    return [stage] * len(params), params
+
+
+def _sequential(stage_fns, stage_params, x):
+    for fn, p in zip(stage_fns, stage_params):
+        x = fn(p, x)
+    return x
+
+
+@pytest.mark.parametrize("n_micro", [4, 8])
+def test_pipeline_forward_matches_sequential(rng, n_micro):
+    fns, params = _mlp_stages(rng)
+    mesh = make_mesh_from_config({"pipe": 4})
+    x = jnp.asarray(rng.normal(0, 1, (8, 6)), jnp.float32)
+
+    want = _sequential(fns, params, x)
+    got = jax.jit(
+        functools.partial(pipeline_apply, fns, mesh=mesh,
+                          n_microbatches=n_micro)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=1e-6)
+
+
+def test_pipeline_grads_match_sequential(rng):
+    fns, params = _mlp_stages(rng)
+    mesh = make_mesh_from_config({"pipe": 4})
+    x = jnp.asarray(rng.normal(0, 1, (8, 6)), jnp.float32)
+    t = jnp.asarray(rng.normal(0, 1, (8, 4)), jnp.float32)
+
+    def loss_seq(ps):
+        return jnp.mean((_sequential(fns, ps, x) - t) ** 2)
+
+    def loss_pp(ps):
+        y = pipeline_apply(fns, ps, x, mesh, n_microbatches=8)
+        return jnp.mean((y - t) ** 2)
+
+    want_l, want_g = jax.value_and_grad(loss_seq)(params)
+    got_l, got_g = jax.jit(jax.value_and_grad(loss_pp))(params)
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-6)
+    for gg, wg in zip(jax.tree_util.tree_leaves(got_g),
+                      jax.tree_util.tree_leaves(want_g)):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(wg),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_pytree_activations(rng):
+    """Stages exchanging tuple activations (the head's (cls, reg) shape)."""
+    mesh = make_mesh_from_config({"pipe": 2})
+    w = jnp.asarray(rng.normal(0, 0.5, (5, 3)), jnp.float32)
+
+    def s0(p, x):
+        return (x @ p, x[:, :2])
+
+    def s1(p, xs):
+        a, b = xs
+        return {"y": a * p, "z": b}
+
+    x = jnp.asarray(rng.normal(0, 1, (4, 5)), jnp.float32)
+    want = s1(2.0, s0(w, x))
+    got = pipeline_apply([s0, s1], [w, jnp.asarray(2.0)], x, mesh)
+    np.testing.assert_array_equal(np.asarray(got["y"]),
+                                  np.asarray(want["y"]))
+    np.testing.assert_array_equal(np.asarray(got["z"]),
+                                  np.asarray(want["z"]))
+
+
+def test_pipeline_validates_configuration(rng):
+    fns, params = _mlp_stages(rng)
+    mesh = make_mesh_from_config({"pipe": 4})
+    x = jnp.zeros((8, 6), jnp.float32)
+    with pytest.raises(ValueError, match="stages but mesh"):
+        pipeline_apply(fns[:2], params[:2], x, mesh)
+    with pytest.raises(ValueError, match="param trees"):
+        pipeline_apply(fns, params[:2], x, mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline_apply(fns, params, x, mesh, n_microbatches=3)
+    with pytest.raises(ValueError, match="single dtype"):
+        pipeline_apply(fns, params, x.astype(jnp.bfloat16), mesh)
+
+
+def test_drow_detector_pipelined_forward(rng):
+    """The real detector forward, staged backbone | head over a 2-device
+    pipe axis, matches the single-device ``model.apply`` exactly."""
+    from planar_optical_flow_tpu.models import Drow
+
+    model = Drow(pedestrian_only=True)
+    b, ct, s, p = 4, 6, 3, 8
+    x = jnp.asarray(rng.uniform(-1, 1, (b, ct, s, p)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    want_cls, want_reg = model.apply(variables, x, train=False)
+
+    mesh = make_mesh_from_config({"pipe": 2})
+    fns, params = drow_pipeline_stages(model, variables, train=False)
+    got_cls, got_reg = jax.jit(
+        functools.partial(pipeline_apply, fns, mesh=mesh, n_microbatches=4)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(got_cls), np.asarray(want_cls),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_reg), np.asarray(want_reg),
+                               rtol=1e-6, atol=1e-6)
