@@ -30,9 +30,6 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 import argparse
 import os
 
-_STREAMING = ("flow_drow", "dr-spaam", "spatial_drow")
-
-
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", required=True)
@@ -63,6 +60,7 @@ def main(argv=None):
 
     from planar_optical_flow_tpu.infer.export import export_model
     from planar_optical_flow_tpu.models import get_model
+    from planar_optical_flow_tpu.models.registry import STREAMING_MODEL_TYPES
     from planar_optical_flow_tpu.pipeline import (_example_inputs,
                                                   normalize_config)
     from planar_optical_flow_tpu.train import checkpoint as ckpt_lib
@@ -71,7 +69,7 @@ def main(argv=None):
 
     cfg = normalize_config(load_config(args.cfg))
     mtype = cfg["model"]["type"]
-    if mtype in _STREAMING:
+    if mtype in STREAMING_MODEL_TYPES:
         parser.error(
             f"{mtype!r} is a streaming detector (template-state carry); "
             f"export it with bin/export_serving.py")

@@ -68,6 +68,7 @@ def main(argv=None):
     from planar_optical_flow_tpu.infer.export import export_serving_engine
     from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
     from planar_optical_flow_tpu.models import get_model
+    from planar_optical_flow_tpu.models.registry import STREAMING_MODEL_TYPES
     from planar_optical_flow_tpu.pipeline import (_example_inputs,
                                                   normalize_config)
     from planar_optical_flow_tpu.train import checkpoint as ckpt_lib
@@ -78,10 +79,9 @@ def main(argv=None):
     # the serve-v3 pipeline is built around the attention-gate cell, so
     # only the gated detector families export (a plain "drow" would crash
     # inside make_serve_step_v3 on the missing gate subtree)
-    if cfg["model"]["type"] not in ("flow_drow", "dr-spaam",
-                                    "spatial_drow"):
+    if cfg["model"]["type"] not in STREAMING_MODEL_TYPES:
         parser.error(f"serving export supports the gated streaming "
-                     f"detectors (flow_drow / dr-spaam / spatial_drow), "
+                     f"detectors ({'/'.join(STREAMING_MODEL_TYPES)}), "
                      f"not {cfg['model']['type']!r}")
     model = get_model(cfg["model"])
 

@@ -85,25 +85,49 @@ class BatchLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded-queue put that gives up once the consumer is gone —
+            # otherwise an early ``break`` out of the epoch would leave the
+            # worker blocked in q.put forever, leaking the thread and the
+            # prefetched (possibly device-placed) batches every epoch
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def worker():
             # a worker error must reach the consumer — swallowing it would
             # silently truncate the epoch
             try:
                 for c in chunks:
-                    q.put(self._make_batch(c))
-                q.put(stop)
+                    if not _put(self._make_batch(c)):
+                        return
+                _put(stop)
             except BaseException as e:  # noqa: BLE001 — re-raised below
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                t.join()
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # runs on exhaustion, error, AND consumer abandonment
+            # (GeneratorExit): release the worker and drop queued batches
+            abandoned.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join()

@@ -113,6 +113,18 @@ class BoxRegressor:
                     f"artifact {path} expects segments of shape "
                     f"(B, {want[0]}, {want[1]}) but the config implies "
                     f"(B, {self.input_size}, {self.in_dim})")
+        # the input dim alone cannot distinguish a 2D+angle export from a
+        # 3D-without-angle config (both are in_dim 3): check the predicted
+        # width too, or the mismatch would surface as an IndexError deep
+        # in __call__ instead of here
+        tgt_dim = 5 if self.is_3d else 3
+        for osig in engine.meta.get("output_shapes", {}).values():
+            oshape = osig[0]["shape"] if len(osig) == 1 else None
+            if oshape is None or len(oshape) != 2 or oshape[1] != tgt_dim:
+                raise ValueError(
+                    f"artifact {path} predicts shape {oshape or osig} but "
+                    f"the config (is_3d={self.is_3d}) implies "
+                    f"(B, {tgt_dim}) boxes")
 
         exported = sorted(engine.meta["batches"])
 

@@ -46,6 +46,57 @@ _STEP = "step.bin"
 _MODEL_META = "model.json"
 
 
+def _read_meta(out_dir: str, meta_name: str):
+    try:
+        with open(os.path.join(out_dir, meta_name)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _next_generation(out_dir: str, meta_name: str) -> int:
+    """Generation counter for re-exports into an existing artifact.
+
+    Program files carry a per-export generation suffix (``.g{N}`` for
+    N > 0), so a re-export NEVER writes under a name the current meta
+    references — a crash at any point leaves the old meta pointing only
+    at old-generation bins (same-name in-place replacement could pair a
+    stale meta with a new-generation program: wrong weights served
+    silently, or an opaque deserialize mismatch on changed shapes).
+    An existing-but-unreadable meta still advances the generation.
+    """
+    meta = _read_meta(out_dir, meta_name)
+    if meta is None:
+        return 1 if os.path.exists(os.path.join(out_dir, meta_name)) else 0
+    return int(meta.get("generation", 0)) + 1
+
+
+def _write_atomic(path: str, blob: bytes):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def _write_meta_atomic(path: str, info: dict):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(info, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _prune_programs(out_dir: str, prefixes, keep):
+    """Drop program files (and write residue) from previous exports that
+    the just-written meta no longer references — stale programs may come
+    from different weights and must not ship next to the new meta."""
+    for name in os.listdir(out_dir):
+        if name in keep:
+            continue
+        if (any(name.startswith(p) for p in prefixes)
+                and (name.endswith(".bin") or name.endswith(".bin.tmp"))):
+            os.remove(os.path.join(out_dir, name))
+
+
 def export_serving_engine(out_dir: str, step, example_scan,
                           meta: dict | None = None) -> str:
     """Serialize a built serving step (a :func:`make_serve_step_v3`
@@ -75,21 +126,12 @@ def export_serving_engine(out_dir: str, step, example_scan,
     if len({s.shape[1] for s in scan_specs}) != 1:
         raise ValueError("all exported batches must share num_pts")
 
-    os.makedirs(out_dir, exist_ok=True)
     single = len(scan_specs) == 1
-    # drop program files from a previous export into this directory that
-    # this export will not overwrite — stale programs (possibly from
-    # different weights) must not ship alongside the new engine.json
-    expected = ({_BOOT, _STEP} if single else
-                {f"{k}_b{b}.bin" for b in batches for k in ("boot", "step")})
-    for name in os.listdir(out_dir):
-        is_program = (name in (_BOOT, _STEP)
-                      or (name.endswith(".bin")
-                          and (name.startswith("boot_b")
-                               or name.startswith("step_b"))))
-        if is_program and name not in expected:
-            os.remove(os.path.join(out_dir, name))
+    # serialize every program BEFORE touching the output directory, so a
+    # failed or interrupted re-export cannot brick a previously valid
+    # artifact
     platforms = None
+    blobs = {}
     for scan_spec, b in zip(scan_specs, batches):
         boot = jexport.export(jax.jit(lambda s: raw(None, s)))(scan_spec)
         boot_out = jax.tree_util.tree_unflatten(boot.out_tree,
@@ -103,12 +145,30 @@ def export_serving_engine(out_dir: str, step, example_scan,
         stepped = jexport.export(jax.jit(raw, donate_argnums=(0,)))(
             carry_spec, scan_spec)
         platforms = list(boot.platforms)
-        boot_name = _BOOT if single else f"boot_b{b}.bin"
-        step_name = _STEP if single else f"step_b{b}.bin"
-        with open(os.path.join(out_dir, boot_name), "wb") as f:
-            f.write(boot.serialize())
-        with open(os.path.join(out_dir, step_name), "wb") as f:
-            f.write(stepped.serialize())
+        blobs[b] = (boot.serialize(), stepped.serialize())
+
+    # crash-safe write order: generation-unique bin names (see
+    # _next_generation) land via tmp + os.replace, the meta referencing
+    # them is atomically replaced LAST, and only then are programs the
+    # new meta no longer lists pruned — at every crash point the on-disk
+    # meta references exactly the bins of its own generation
+    os.makedirs(out_dir, exist_ok=True)
+    gen = _next_generation(out_dir, _META)
+    suffix = f".g{gen}" if gen else ""
+
+    def names(b):
+        if single and not gen:
+            return _BOOT, _STEP
+        if single:
+            return f"boot{suffix}.bin", f"step{suffix}.bin"
+        return f"boot_b{b}{suffix}.bin", f"step_b{b}{suffix}.bin"
+
+    files = {}
+    for b, (boot_blob, step_blob) in blobs.items():
+        boot_name, step_name = names(b)
+        _write_atomic(os.path.join(out_dir, boot_name), boot_blob)
+        _write_atomic(os.path.join(out_dir, step_name), step_blob)
+        files[str(b)] = [boot_name, step_name]
 
     # builder extras first, computed facts last: the batch/num_pts/
     # platform fields are what load-time safety checks key on, so they
@@ -117,12 +177,15 @@ def export_serving_engine(out_dir: str, step, example_scan,
     info.update({
         "batch": batches[0] if single else None,  # legacy single-batch key
         "batches": sorted(batches),
+        "files": files,
+        "generation": gen,
         "num_pts": int(scan_specs[0].shape[1]),
         "platforms": platforms,
         "jax_version": jax.__version__,
     })
-    with open(os.path.join(out_dir, _META), "w") as f:
-        json.dump(info, f, indent=2, sort_keys=True)
+    _write_meta_atomic(os.path.join(out_dir, _META), info)
+    _prune_programs(out_dir, ("boot", "step"),
+                    {n for pair in files.values() for n in pair})
     return out_dir
 
 
@@ -160,6 +223,7 @@ def export_model(out_dir: str, fn, example_inputs, meta: dict | None = None,
     # succeeded)
     platforms = None
     input_shapes = {}
+    output_shapes = {}
     blobs = {}
     for sig, b in zip(spec_sigs, batches):
         exported = jexport.export(jax.jit(fn))(*sig)
@@ -169,36 +233,36 @@ def export_model(out_dir: str, fn, example_inputs, meta: dict | None = None,
             {"shape": list(s.shape), "dtype": str(np.dtype(s.dtype))}
             for s in sig
         ]
+        output_shapes[str(b)] = [
+            {"shape": list(a.shape), "dtype": str(np.dtype(a.dtype))}
+            for a in exported.out_avals
+        ]
 
-    # write order keeps the artifact loadable at every crash point: new
-    # bins land via tmp-file + os.replace (a same-batch re-export never
-    # truncates a bin the current meta references), then the meta is
-    # atomically replaced, and only then are bins the new meta no longer
-    # lists removed.
+    # crash-safe write order: generation-unique bin names (see
+    # _next_generation — a same-batch re-export with changed weights or
+    # shapes must never overwrite a bin the current meta references),
+    # atomic meta replace LAST, then prune unreferenced programs
     os.makedirs(out_dir, exist_ok=True)
+    gen = _next_generation(out_dir, _MODEL_META)
+    suffix = f".g{gen}" if gen else ""
+    files = {}
     for b, blob in blobs.items():
-        tmp_bin = os.path.join(out_dir, f"model_b{b}.bin.tmp")
-        with open(tmp_bin, "wb") as f:
-            f.write(blob)
-        os.replace(tmp_bin, os.path.join(out_dir, f"model_b{b}.bin"))
+        name = f"model_b{b}{suffix}.bin"
+        _write_atomic(os.path.join(out_dir, name), blob)
+        files[str(b)] = name
 
     info = dict(meta or {})
     info.update({
         "batches": sorted(batches),
+        "files": files,
+        "generation": gen,
         "input_shapes": input_shapes,
+        "output_shapes": output_shapes,
         "platforms": platforms,
         "jax_version": jax.__version__,
     })
-    tmp = os.path.join(out_dir, _MODEL_META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(info, f, indent=2, sort_keys=True)
-    os.replace(tmp, os.path.join(out_dir, _MODEL_META))
-
-    expected = {f"model_b{b}.bin" for b in batches}
-    for name in os.listdir(out_dir):
-        if (name.startswith("model_b") and name.endswith(".bin")
-                and name not in expected):
-            os.remove(os.path.join(out_dir, name))
+    _write_meta_atomic(os.path.join(out_dir, _MODEL_META), info)
+    _prune_programs(out_dir, ("model_b",), set(files.values()))
     return out_dir
 
 
@@ -232,7 +296,12 @@ class ModelEngine:
                         f"artifact was exported for {s['shape']} "
                         f"(re-export with the shapes you need, see "
                         f"bin/export_model.py)")
-                got = str(np.dtype(getattr(x, "dtype", np.asarray(x).dtype)))
+                # getattr's default is ALWAYS evaluated — np.asarray on a
+                # committed device array would be a blocking D2H copy per
+                # call; only materialize for dtype-less python inputs
+                dt = getattr(x, "dtype", None)
+                got = str(np.dtype(dt if dt is not None
+                                   else np.asarray(x).dtype))
                 if got != s["dtype"]:
                     raise ValueError(
                         f"input {i} has dtype {got} but the artifact was "
@@ -257,9 +326,11 @@ def load_model(path: str) -> ModelEngine:
     with open(os.path.join(path, _MODEL_META)) as f:
         meta = json.load(f)
     _check_platform(path, meta)
+    files = meta.get("files") or {}
     programs = {}
     for b in meta["batches"]:
-        with open(os.path.join(path, f"model_b{b}.bin"), "rb") as f:
+        name = files.get(str(b), f"model_b{b}.bin")
+        with open(os.path.join(path, name), "rb") as f:
             programs[int(b)] = jexport.deserialize(f.read())
     return ModelEngine(programs, meta)
 
@@ -313,9 +384,17 @@ def load_serving_engine(path: str) -> ServingEngine:
             return jexport.deserialize(f.read())
 
     batches = meta.get("batches") or [meta["batch"]]
-    if len(batches) == 1 and os.path.exists(os.path.join(path, _BOOT)):
-        programs = {int(batches[0]): (_read(_BOOT), _read(_STEP))}
-    else:
-        programs = {int(b): (_read(f"boot_b{b}.bin"), _read(f"step_b{b}.bin"))
-                    for b in batches}
+    files = meta.get("files") or {}
+
+    def _names(b):
+        if str(b) in files:
+            return files[str(b)]
+        if len(batches) == 1 and os.path.exists(os.path.join(path, _BOOT)):
+            return _BOOT, _STEP
+        return f"boot_b{b}.bin", f"step_b{b}.bin"
+
+    programs = {}
+    for b in batches:
+        boot_name, step_name = _names(b)
+        programs[int(b)] = (_read(boot_name), _read(step_name))
     return ServingEngine(programs, meta)

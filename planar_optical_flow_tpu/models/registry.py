@@ -75,6 +75,11 @@ def _build_fc_detector(cfg):
     )
 
 
+# model types whose forward carries template state across scans — these
+# serve through the streaming engines (bin/export_serving.py), never the
+# stateless AOT export (bin/export_model.py); both CLIs gate on this
+STREAMING_MODEL_TYPES = ("flow_drow", "dr-spaam", "spatial_drow")
+
 MODEL_REGISTRY = {
     "box_reg": _build_box_reg,
     "flow_unet": _build_flow_unet,

@@ -161,18 +161,20 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
 
     def spmd(params_tuple, x_mb):
         d = lax.axis_index(axis)
+        # pack the input feed ONCE, outside the tick scan (per-tick
+        # packing would re-run the concat+pad n*(M+n-1) times fleet-wide)
+        x_leaves = jax.tree_util.tree_leaves(x_mb)
+        x_flat = jnp.concatenate(
+            [l.reshape(m, mb, -1) for l in x_leaves], axis=2)
+        x_packed = jnp.pad(
+            x_flat, ((0, 0), (0, 0), (0, max_flat - x_flat.shape[2])))
 
         def tick(buf, t):
             mb_idx = t - d
             active = (mb_idx >= 0) & (mb_idx < m)
             # stage 0 injects its microbatch from the input feed; every
             # other stage consumes the buffer ppermuted in last tick
-            x0 = _pack(
-                jax.tree_util.tree_map(
-                    lambda l: l[jnp.clip(mb_idx, 0, m - 1)], x_mb
-                ),
-                mb, max_flat,
-            )
+            x0 = x_packed[jnp.clip(mb_idx, 0, m - 1)]
             inbuf = jnp.where(d == 0, x0, buf)
             out = lax.switch(d, branches, params_tuple, inbuf)
             out = jnp.where(active, out, jnp.zeros_like(out))
@@ -202,7 +204,8 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
                    out_treedef, out_shapes)
 
 
-def drow_pipeline_stages(model, variables, train: bool = False):
+def drow_pipeline_stages(model, variables, train: bool = False,
+                         dropout_rng=None):
     """Split the DROW/DR-SPAAM detector forward into its two natural
     pipeline stages (per-cutout backbone+temporal fusion | post-fusion
     head), each as a ``(params, x) -> y`` stage function for
@@ -213,21 +216,48 @@ def drow_pipeline_stages(model, variables, train: bool = False):
     (reference ``dr_spaam.py:41-121``) and stages exactly. Both stages
     close over the full variable tree (parameters here are sub-MB;
     activations are what pipelining shards — see module docstring).
+
+    ``train=True`` on a dropout-enabled model needs ``dropout_rng`` (each
+    stage folds in its index so the two stages draw independent masks);
+    without it flax would raise a missing-PRNG error mid-pipeline. In
+    train mode BatchNorm normalizes by per-MICROBATCH statistics and the
+    running-stat updates are discarded — the standard GPipe BN caveat
+    (global batch stats would need a cross-microbatch reduction that
+    defeats the wavefront). Keep ``train=False`` where exact batch-stat
+    semantics matter, e.g. FlowDROW's frozen detector.
     """
+    if train and getattr(model, "dropout", 0) > 0 and dropout_rng is None:
+        raise ValueError(
+            "drow_pipeline_stages(train=True) on a dropout-enabled model "
+            "requires dropout_rng"
+        )
+
+    def _rngs(i):
+        if dropout_rng is None:
+            return None
+        return {"dropout": jax.random.fold_in(dropout_rng, i)}
+
+    def _apply(v, x, method, i):
+        if not train:
+            return model.apply(v, x, train, method=method)
+        out, _ = model.apply(v, x, train, method=method, rngs=_rngs(i),
+                             mutable=["batch_stats"])
+        return out
 
     def stage_backbone(v, x):
-        fused = model.apply(
-            v, x, train,
-            method=lambda mdl, xx, tr: jnp.sum(
+        return _apply(
+            v, x,
+            lambda mdl, xx, tr: jnp.sum(
                 mdl.encode_cutouts(xx, train=tr), axis=2
             ),
+            0,
         )
-        return fused
 
     def stage_head(v, fused):
-        return model.apply(
-            v, fused, train,
-            method=lambda mdl, ff, tr: mdl.fused_head(ff, train=tr),
+        return _apply(
+            v, fused,
+            lambda mdl, ff, tr: mdl.fused_head(ff, train=tr),
+            1,
         )
 
     return (stage_backbone, stage_head), (variables, variables)

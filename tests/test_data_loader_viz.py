@@ -307,3 +307,26 @@ def test_drow_io_malformed_files(tmp_path):
         f.write(",".join(["0.1"] * 7) + "\n")
     with pytest.raises(ValueError, match="whole number of scans"):
         drow_io.load_flow_file(stem, num_pts=4)
+
+
+def test_loader_early_break_releases_worker():
+    """Abandoning an epoch early (``break`` mid-iteration) must not leave
+    the prefetch worker blocked on the bounded queue forever."""
+    import gc
+    import threading
+    import time
+
+    before = set(threading.enumerate())
+    loader = BatchLoader(_ToyDataset(64), batch_size=4, shuffle=False,
+                         prefetch=1)
+    it = iter(loader)
+    next(it)
+    del it  # GeneratorExit — the finally must release the worker
+    gc.collect()
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if set(threading.enumerate()) <= before:
+            break
+        time.sleep(0.05)
+    leaked = [t for t in threading.enumerate() if t not in before]
+    assert not leaked, f"prefetch worker leaked: {leaked}"

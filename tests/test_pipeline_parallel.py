@@ -137,3 +137,25 @@ def test_drow_detector_pipelined_forward(rng):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_reg), np.asarray(want_reg),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_drow_stages_dropout_rng(rng):
+    """train=True on a dropout-enabled detector needs an explicit rng;
+    with one, the pipelined training forward runs (stages draw
+    independent masks)."""
+    from planar_optical_flow_tpu.models import Drow
+    from planar_optical_flow_tpu.parallel import drow_pipeline_stages
+
+    model = Drow(pedestrian_only=True, dropout=0.3)
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 5, 2, 8)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    with pytest.raises(ValueError, match="dropout_rng"):
+        drow_pipeline_stages(model, variables, train=True)
+
+    mesh = make_mesh_from_config({"pipe": 2})
+    fns, params = drow_pipeline_stages(
+        model, variables, train=True, dropout_rng=jax.random.PRNGKey(1))
+    cls, reg = pipeline_apply(fns, params, x, mesh, n_microbatches=2)
+    assert cls.shape == (4, 5, 1) and reg.shape == (4, 5, 2)
+    assert bool(jnp.all(jnp.isfinite(cls)))

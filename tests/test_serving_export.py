@@ -252,20 +252,26 @@ def test_reexport_removes_stale_programs(tmp_path):
     export_serving_engine(out, step, specs_a)
     assert os.path.exists(os.path.join(out, "boot_b1.bin"))
 
-    # re-export with a different batch list: b1 programs must be gone
+    # re-export with a different batch list: b1 programs must be gone,
+    # and the new programs live under generation-unique names the old
+    # meta never referenced (crash-safe re-export)
     export_serving_engine(
         out, step, jax.ShapeDtypeStruct((4, num_pts), np.float32))
     names = set(os.listdir(out))
     assert "boot_b1.bin" not in names and "step_b1.bin" not in names
-    assert {"boot.bin", "step.bin", "engine.json"} <= names
     engine = load_serving_engine(out)
+    assert engine.meta["generation"] == 1
+    referenced = {n for pair in engine.meta["files"].values() for n in pair}
+    assert referenced <= names
     scan = jnp.asarray(rng.uniform(0.5, 20.0, (4, num_pts)), jnp.float32)
     engine(None, scan)
 
-    # and the reverse direction drops the legacy single-batch layout
+    # a further re-export prunes every unreferenced program file
     export_serving_engine(out, step, specs_a)
-    names = set(os.listdir(out))
-    assert "boot.bin" not in names and "step.bin" not in names
+    meta = load_serving_engine(out).meta
+    keep = {n for pair in meta["files"].values() for n in pair}
+    bins = {n for n in os.listdir(out) if n.endswith(".bin")}
+    assert bins == keep and meta["generation"] == 2
 
 
 def test_artifact_eval_surfaces(tmp_path):
@@ -504,12 +510,15 @@ def test_export_model_roundtrip_and_routing(tmp_path):
         rtol=1e-4, atol=1e-4)
 
     # re-export with a different batch list drops the stale programs
+    # (new bins under generation-unique names, then pruned to the set
+    # the new meta references)
     export_model(out, fn, [sig(4)])
     import os
 
+    meta = load_model(out).meta
     bins = sorted(f for f in os.listdir(out) if f.endswith(".bin"))
-    assert bins == ["model_b4.bin"]
-    assert load_model(out).meta["batches"] == [4]
+    assert bins == sorted(meta["files"].values())
+    assert meta["batches"] == [4]
 
 
 def test_export_model_cli_box_regressor_artifact(tmp_path):
@@ -637,6 +646,28 @@ def test_export_model_interrupted_reexport_stays_loadable(tmp_path,
     assert not [f for f in os.listdir(tmp_path / "m") if ".tmp" in f]
     assert load_model(str(tmp_path / "m")).meta["batches"] == [4]
 
+    # the sharpest case: a SAME-batch re-export with changed weights that
+    # dies at the meta flip — the old meta must keep serving the OLD
+    # function (same-name in-place bin replacement would silently serve
+    # the new weights under the old meta)
+    def fn_new(a):
+        return a * 3.0
+
+    monkeypatch.setattr(os, "replace", dying_replace)
+    with pytest.raises(OSError, match="injected"):
+        export_model(str(tmp_path / "m"), fn_new, [sig(4)])
+    monkeypatch.undo()
+    engine = load_model(str(tmp_path / "m"))
+    np.testing.assert_allclose(
+        np.asarray(engine(jnp.ones((4, 8), jnp.float32))), 2.0)
+    # and completing the re-export flips to the new weights + prunes
+    export_model(str(tmp_path / "m"), fn_new, [sig(4)])
+    engine = load_model(str(tmp_path / "m"))
+    np.testing.assert_allclose(
+        np.asarray(engine(jnp.ones((4, 8), jnp.float32))), 3.0)
+    bins = {f for f in os.listdir(tmp_path / "m") if f.endswith(".bin")}
+    assert bins == set(engine.meta["files"].values())
+
 
 def test_box_regressor_artifact_chunk_routing(monkeypatch):
     """The artifact forward consumes full chunks of the largest exported
@@ -712,3 +743,28 @@ def test_box_regressor_empty_detections():
     assert boxes.shape == (0, 7) and ok.shape == (0,)
     segs, ok2 = br.generate_segments(points, np.zeros((0, 3), np.float32))
     assert segs.shape == (0, 8, 3) and ok2.shape == (0,)
+
+
+def test_box_reg_artifact_output_width_mismatch(tmp_path):
+    """A 2D+angle export (in_dim 3, width-3 boxes) loaded with a 3D
+    no-angle config (ALSO in_dim 3) must fail at load on the predicted
+    width, not with an IndexError at the first inference call."""
+    from planar_optical_flow_tpu.infer import BoxRegressor, export_model
+    from planar_optical_flow_tpu.models import BoundingBoxRegressor
+
+    model = BoundingBoxRegressor(input_dim=3, target_dim=3)
+    x = jnp.zeros((2, 8, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    art = export_model(
+        str(tmp_path / "br2d"),
+        lambda a: model.apply(variables, a, train=False),
+        [(jax.ShapeDtypeStruct((2, 8, 3), np.float32),)],
+        meta={"model_type": "box_reg"})
+
+    good_cfg = {"is_3d": False, "input_with_angle": True, "input_size": 8,
+                "radius_segment": 0.5, "min_segment_size": 1}
+    BoxRegressor.from_artifact(art, good_cfg)  # matching config loads
+
+    bad_cfg = dict(good_cfg, is_3d=True, input_with_angle=False)
+    with pytest.raises(ValueError, match="predicts shape"):
+        BoxRegressor.from_artifact(art, bad_cfg)
