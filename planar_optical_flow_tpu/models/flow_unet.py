@@ -66,45 +66,60 @@ class FlowUNet(nn.Module):
     negative_slope: float = 0.01
     linear_head: bool = False
 
-    @nn.compact
-    def __call__(self, scan1, scan2=None, train: bool = True):
-        if scan2 is None:
-            scan2 = scan1
+    def setup(self):
+        # explicit names keep the parameter tree identical to the original
+        # nn.compact layout (checkpoints and the reference-parity mapping
+        # are unaffected by the encode/decode split)
+        self.enc0 = ConvBlock(64, 3, 2, self.negative_slope,
+                              name="encoder_0")
+        self.enc1 = ConvBlock(128, 3, 2, self.negative_slope,
+                              name="encoder_1")
+        self.enc2 = ConvBlock(256, 3, 2, self.negative_slope,
+                              name="encoder_2")
+        self.dec1 = ConvBlock(128, 3, 1, self.negative_slope,
+                              name="decoder_1")
+        self.dec0 = ConvBlock(128, 3, 1, self.negative_slope,
+                              name="decoder_0")
+        if self.linear_head:
+            self.head = nn.Dense(2, name="flow_reg_linear")
+        else:
+            self.head = ConvBlock(2, 1, 1, self.negative_slope,
+                                  name="flow_reg")
 
-        enc0 = ConvBlock(64, 3, 2, self.negative_slope, name="encoder_0")
-        enc1 = ConvBlock(128, 3, 2, self.negative_slope, name="encoder_1")
-        enc2 = ConvBlock(256, 3, 2, self.negative_slope, name="encoder_2")
-
-        f1_0 = enc0(scan1, train=train)  # (B, 225, 64)
-        f2_0 = enc0(scan2, train=train)
-        f1_1 = enc1(f1_0, train=train)  # (B, 113, 128)
-        f2_1 = enc1(f2_0, train=train)
-        f1_2 = enc2(f1_1, train=train)  # (B, 57, 256)
-        f2_2 = enc2(f2_1, train=train)
-
+    def encode(self, scan1, scan2, train: bool = True):
+        """Shared encoder + correlation; returns the decoder's inputs
+        (cost volume + the scan-1 skip features) — the natural first
+        pipeline stage (``parallel.flow_unet_pipeline_stages``)."""
+        f1_0 = self.enc0(scan1, train=train)  # (B, 225, 64)
+        f2_0 = self.enc0(scan2, train=train)
+        f1_1 = self.enc1(f1_0, train=train)  # (B, 113, 128)
+        f2_1 = self.enc1(f2_0, train=train)
+        f1_2 = self.enc2(f1_1, train=train)  # (B, 57, 256)
+        f2_2 = self.enc2(f2_1, train=train)
         cost = correlation_cost_volume(f1_2, f2_2, self.max_displacement)
+        return cost, f1_1, f1_0, scan1
 
+    def decode(self, cost, f1_1, f1_0, scan1, train: bool = True):
+        """Skip-connected decoder + flow head (second pipeline stage)."""
         up1 = upsample_nearest(cost, f1_1.shape[1])
         up1 = jnp.concatenate([f1_1, up1], axis=-1)
-        up1 = ConvBlock(128, 3, 1, self.negative_slope, name="decoder_1")(
-            up1, train=train
-        )
+        up1 = self.dec1(up1, train=train)
 
         up0 = upsample_nearest(up1, f1_0.shape[1])
         up0 = jnp.concatenate([f1_0, up0], axis=-1)
-        up0 = ConvBlock(128, 3, 1, self.negative_slope, name="decoder_0")(
-            up0, train=train
-        )
+        up0 = self.dec0(up0, train=train)
 
         out = upsample_nearest(up0, scan1.shape[1])
         out = jnp.concatenate([scan1, out], axis=-1)
         if self.linear_head:
-            out = nn.Dense(2, name="flow_reg_linear")(out)
-        else:
-            out = ConvBlock(2, 1, 1, self.negative_slope, name="flow_reg")(
-                out, train=train
-            )
-        return out
+            return self.head(out)
+        return self.head(out, train=train)
+
+    def __call__(self, scan1, scan2=None, train: bool = True):
+        if scan2 is None:
+            scan2 = scan1
+        return self.decode(*self.encode(scan1, scan2, train=train),
+                           train=train)
 
 
 class FlowUNetAdditive(nn.Module):

@@ -261,3 +261,28 @@ def drow_pipeline_stages(model, variables, train: bool = False,
         )
 
     return (stage_backbone, stage_head), (variables, variables)
+
+
+def flow_unet_pipeline_stages(model, variables, train: bool = False):
+    """Stage the flow U-Net encoder+correlation | decoder+head for
+    :func:`pipeline_apply`. The skip connections (f1_1, f1_0, raw scan)
+    cross the stage boundary as a pytree activation — exactly what the
+    uniform transfer buffer packs. Input is the ``(scan1, scan2)`` pair.
+    """
+
+    def stage_encode(v, scans):
+        s1, s2 = scans
+        return model.apply(
+            v, s1, s2, train,
+            method=lambda mdl, a, b, tr: mdl.encode(a, b, train=tr),
+        )
+
+    def stage_decode(v, enc):
+        return model.apply(
+            v, *enc, train,
+            method=lambda mdl, c, f1, f0, s1, tr: mdl.decode(
+                c, f1, f0, s1, train=tr
+            ),
+        )
+
+    return (stage_encode, stage_decode), (variables, variables)

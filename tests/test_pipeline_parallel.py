@@ -159,3 +159,47 @@ def test_drow_stages_dropout_rng(rng):
     cls, reg = pipeline_apply(fns, params, x, mesh, n_microbatches=2)
     assert cls.shape == (4, 5, 1) and reg.shape == (4, 5, 2)
     assert bool(jnp.all(jnp.isfinite(cls)))
+
+
+def test_flow_unet_pipelined_forward_and_grads(rng):
+    """The flow U-Net staged encoder+correlation | decoder over a pipe
+    mesh: skip connections cross the stage boundary as a pytree
+    activation. Forward parity vs model.apply and grad parity through
+    the pipelined EPE loss (refactor guard: the setup-based module must
+    keep the nn.compact parameter tree)."""
+    from planar_optical_flow_tpu.models import FlowUNet
+    from planar_optical_flow_tpu.parallel import flow_unet_pipeline_stages
+
+    model = FlowUNet(linear_head=True)
+    s1 = jnp.asarray(rng.normal(0, 1, (4, 24, 2)), jnp.float32)
+    s2 = jnp.asarray(rng.normal(0, 1, (4, 24, 2)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), s1, s2, train=False)
+    # the parameter tree keeps the original names (checkpoints unaffected)
+    assert set(variables["params"]) == {
+        "encoder_0", "encoder_1", "encoder_2", "decoder_1", "decoder_0",
+        "flow_reg_linear"}
+
+    want = model.apply(variables, s1, s2, train=False)
+    mesh = make_mesh_from_config({"pipe": 2})
+    fns, params = flow_unet_pipeline_stages(model, variables, train=False)
+    got = pipeline_apply(fns, params, (s1, s2), mesh, n_microbatches=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    t = jnp.asarray(rng.normal(0, 1, want.shape), jnp.float32)
+
+    def loss_pp(ps):
+        y = pipeline_apply(fns, ps, (s1, s2), mesh, n_microbatches=2)
+        return jnp.mean(jnp.linalg.norm(y - t, axis=-1))
+
+    def loss_seq(v):
+        y = model.apply(v, s1, s2, train=False)
+        return jnp.mean(jnp.linalg.norm(y - t, axis=-1))
+
+    g_pp = jax.grad(loss_pp)(params)
+    g_seq = jax.grad(loss_seq)(variables)
+    tot = jax.tree_util.tree_map(lambda a, b: a + b, g_pp[0], g_pp[1])
+    for gg, wg in zip(jax.tree_util.tree_leaves(tot),
+                      jax.tree_util.tree_leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(wg),
+                                   rtol=1e-4, atol=1e-5)
