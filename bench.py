@@ -145,6 +145,23 @@ def main():
     }
     print(json.dumps(result))
 
+    # Self-gate: the headline configuration regressing below the 10k
+    # baseline is a FAILURE, not a data point — exit nonzero so CI and the
+    # driver both see it. Gated only for the shipping path at a
+    # throughput-saturating batch (alternate BENCH_PATH arms and small
+    # batches are expected to be slower); BENCH_NO_GATE=1 disables for
+    # exploratory runs.
+    is_headline = (path == "v3-int8c" and batch >= 64
+                   and jax.default_backend() != "cpu"  # target-hw only
+                   and os.environ.get("BENCH_NO_GATE") != "1")
+    if is_headline and result["vs_baseline"] < 1.0:
+        import sys
+
+        print(f"BENCH GATE FAILED: {scans_per_sec:.0f} scans/s/chip < "
+              "10000 baseline on the shipping configuration",
+              file=sys.stderr)
+        sys.exit(1)
+
 
 if __name__ == "__main__":
     main()

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import warnings
 
 import numpy as np
 
@@ -130,4 +131,14 @@ class BatchLoader:
                     q.get_nowait()
             except queue.Empty:
                 pass
-            t.join()
+            # bounded join: the worker is a daemon, so if _make_batch or
+            # put_fn is wedged (e.g. a stuck device transfer) a leaked
+            # thread is safe — an unbounded join here would hang
+            # interpreter teardown (this finally can run inside GC via
+            # GeneratorExit)
+            t.join(timeout=10.0)
+            if t.is_alive():
+                warnings.warn(
+                    "BatchLoader prefetch worker did not exit within 10 s "
+                    "of consumer teardown; leaking the daemon thread",
+                    RuntimeWarning, stacklevel=2)

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import jax
 import numpy as np
@@ -63,12 +64,24 @@ def _next_generation(out_dir: str, meta_name: str) -> int:
     at old-generation bins (same-name in-place replacement could pair a
     stale meta with a new-generation program: wrong weights served
     silently, or an opaque deserialize mismatch on changed shapes).
-    An existing-but-unreadable meta still advances the generation.
+    An existing-but-unreadable meta still advances the generation — past
+    the highest ``.g{N}`` suffix actually present among the bin files, so
+    the re-export can never collide with (and atomically overwrite) bins
+    a restored/backup copy of the lost meta might reference.
     """
     meta = _read_meta(out_dir, meta_name)
-    if meta is None:
-        return 1 if os.path.exists(os.path.join(out_dir, meta_name)) else 0
-    return int(meta.get("generation", 0)) + 1
+    if meta is not None:
+        return int(meta.get("generation", 0)) + 1
+    if not os.path.exists(os.path.join(out_dir, meta_name)):
+        return 0
+    # meta exists but is unreadable: the true generation is unknown, so
+    # scan the on-disk bins for the highest generation suffix
+    max_gen = 0
+    for name in os.listdir(out_dir):
+        m = re.search(r"\.g(\d+)\.bin(\.tmp)?$", name)
+        if m:
+            max_gen = max(max_gen, int(m.group(1)))
+    return max_gen + 1
 
 
 def _write_atomic(path: str, blob: bytes):

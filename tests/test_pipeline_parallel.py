@@ -183,8 +183,20 @@ def test_flow_unet_pipelined_forward_and_grads(rng):
     mesh = make_mesh_from_config({"pipe": 2})
     fns, params = flow_unet_pipeline_stages(model, variables, train=False)
     got = pipeline_apply(fns, params, (s1, s2), mesh, n_microbatches=2)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+    # Two-part parity. (a) Schedule correctness: the pipeline runs each
+    # microbatch through the exact stage chain, so it must match the
+    # *per-microbatch* sequential forward tightly — any drift here is a
+    # scheduling bug, not a lowering effect.
+    want_micro = jnp.concatenate([
+        model.apply(variables, s1[i:i + 2], s2[i:i + 2], train=False)
+        for i in range(0, 4, 2)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_micro),
                                rtol=1e-5, atol=1e-6)
+    # (b) Full-batch comparison at the documented bound: XLA lowers the
+    # smaller per-microbatch convs differently (measured ~6e-5 relative on
+    # this fixture), so parity vs the unsplit forward is ~1e-4 relative.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
 
     t = jnp.asarray(rng.normal(0, 1, want.shape), jnp.float32)
 

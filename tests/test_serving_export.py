@@ -768,3 +768,27 @@ def test_box_reg_artifact_output_width_mismatch(tmp_path):
     bad_cfg = dict(good_cfg, is_3d=True, input_with_angle=False)
     with pytest.raises(ValueError, match="predicts shape"):
         BoxRegressor.from_artifact(art, bad_cfg)
+
+
+def test_next_generation_corrupt_meta_scans_bins(tmp_path):
+    """An unreadable meta must advance the generation PAST the highest
+    ``.g{N}`` bin on disk (ADVICE r3): hardcoding 1 could atomically
+    overwrite gen-1 bins a restored/backup meta still references."""
+    from planar_optical_flow_tpu.infer.export import _next_generation
+
+    d = str(tmp_path)
+    # no meta at all -> generation 0 (fresh export)
+    assert _next_generation(d, "engine.json") == 0
+    # corrupt meta, no bins -> 1
+    (tmp_path / "engine.json").write_text("{not json")
+    assert _next_generation(d, "engine.json") == 1
+    # corrupt meta with surviving gen-2 bins -> 3, never a collision
+    (tmp_path / "step_b4.g2.bin").write_bytes(b"x")
+    (tmp_path / "boot_b4.g1.bin").write_bytes(b"x")
+    assert _next_generation(d, "engine.json") == 3
+    # a crashed write residue also counts (it may be the newest gen)
+    (tmp_path / "step_b4.g5.bin.tmp").write_bytes(b"x")
+    assert _next_generation(d, "engine.json") == 6
+    # readable meta wins regardless of bins
+    (tmp_path / "engine.json").write_text('{"generation": 7}')
+    assert _next_generation(d, "engine.json") == 8
