@@ -137,10 +137,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a numpy batch dict onto the mesh with the batch axis sharded.
 
-    Under multi-host, each process passes its local slice; single-host this
-    is a plain sharded device_put.
+    Under multi-host, each process passes its LOCAL slice of the global
+    batch (``BatchLoader(process_index=..., process_count=...)``) and the
+    global array is assembled across processes; single-host this is a
+    plain sharded device_put.
     """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
