@@ -16,5 +16,6 @@ from planar_optical_flow_tpu.parallel.context_parallel import (  # noqa: F401
 from planar_optical_flow_tpu.parallel.pipeline_parallel import (  # noqa: F401
     pipeline_apply,
     drow_pipeline_stages,
+    drow_pipeline_train_stages,
     flow_unet_pipeline_stages,
 )

@@ -81,7 +81,7 @@ def _unpack(buf, mb: int, treedef, shapes):
 
 
 def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
-                   n_microbatches: int | None = None):
+                   n_microbatches: int | None = None, stage_state=None):
     """Apply ``stage_fns[n-1](p[n-1], ... stage_fns[0](p[0], x))`` as a
     GPipe wavefront over ``mesh.shape[axis]`` devices.
 
@@ -97,11 +97,22 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
         ``n_microbatches`` equal microbatches along axis 0.
       mesh: a ``jax.sharding.Mesh`` containing ``axis``.
       n_microbatches: defaults to ``mesh.shape[axis]``; must divide ``B``.
+      stage_state: optional sequence of per-stage STATE pytrees (e.g.
+        BatchNorm running statistics). When given, stage ``i`` maps
+        ``(stage_params[i], state_i, activations_i) -> (activations_{i+1},
+        new_state_i)`` and the state threads through that stage's
+        microbatches IN ORDER — each device carries its own stage's state
+        through the tick scan, exactly reproducing a sequential
+        microbatched loop's update chain (EMA updates included). The
+        state never enters the inter-stage transfer buffer (any dtype,
+        any pytree).
 
-    Returns the last stage's output pytree with leading dim ``B``. Each
-    microbatch runs the exact sequential stage chain — the schedule adds
-    no re-association; the only numeric delta vs the unstaged forward is
-    XLA lowering smaller per-microbatch matmuls differently (1-ulp).
+    Returns the last stage's output pytree with leading dim ``B``, or
+    ``(output, new_stage_states)`` when ``stage_state`` is given (each
+    final state replicated to all devices). Each microbatch runs the
+    exact sequential stage chain — the schedule adds no re-association;
+    the only numeric delta vs the unstaged forward is XLA lowering
+    smaller per-microbatch matmuls differently (1-ulp).
     """
     n = int(mesh.shape[axis])
     stage_fns = tuple(stage_fns)
@@ -113,6 +124,20 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
     if len(stage_params) != n:
         raise ValueError(
             f"{len(stage_params)} param trees for {n} stages"
+        )
+    with_state = stage_state is not None
+    if with_state:
+        stage_state = tuple(stage_state)
+        if len(stage_state) != n:
+            raise ValueError(
+                f"{len(stage_state)} state trees for {n} stages"
+            )
+        fns = stage_fns
+    else:
+        # uniform internal form: every stage threads an (empty) state
+        stage_state = ({},) * n
+        fns = tuple(
+            (lambda f: lambda p, s, xx: (f(p, xx), s))(f) for f in stage_fns
         )
     batch = jax.tree_util.tree_leaves(x)[0].shape[0]
     m = n if n_microbatches is None else int(n_microbatches)
@@ -131,10 +156,17 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
         lambda t: jax.tree_util.tree_map(lambda l: l[0], t), x_mb
     )
     dtype = None
-    for fn, p in zip(stage_fns, stage_params):
+    for fn, p, s in zip(fns, stage_params, stage_state):
         in_td, in_sh, in_dt = _leaf_shapes(cur)
-        cur = jax.eval_shape(fn, p, cur)
+        cur, s_shape = jax.eval_shape(fn, p, s, cur)
         out_td, out_sh, out_dt = _leaf_shapes(cur)
+        s_td = jax.tree_util.tree_structure(s)
+        if jax.tree_util.tree_structure(s_shape) != s_td:
+            raise ValueError(
+                "pipeline stage must return its state with an unchanged "
+                f"tree structure (got {jax.tree_util.tree_structure(s_shape)}"
+                f" vs {s_td})"
+            )
         if dtype is None:
             dtype = in_dt
         if in_dt != dtype or out_dt != dtype:
@@ -148,18 +180,20 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
     )
     out_treedef, out_shapes = io[-1][2], io[-1][3]
 
-    def stage_branch(i, params_tuple, buf):
+    def stage_branch(i, params_tuple, states_tuple, buf):
         in_td, in_sh, _, _ = io[i]
         xin = _unpack(buf[:, :_flat_size(in_sh)], mb, in_td, in_sh)
-        y = stage_fns[i](params_tuple[i], xin)
-        return _pack(y, mb, max_flat)
+        y, new_si = fns[i](params_tuple[i], states_tuple[i], xin)
+        new_states = (states_tuple[:i] + (new_si,)
+                      + states_tuple[i + 1:])
+        return _pack(y, mb, max_flat), new_states
 
     branches = tuple(
         functools.partial(stage_branch, i) for i in range(n)
     )
     fwd_perm = [(i, i + 1) for i in range(n - 1)]
 
-    def spmd(params_tuple, x_mb):
+    def spmd(params_tuple, states_tuple, x_mb):
         d = lax.axis_index(axis)
         # pack the input feed ONCE, outside the tick scan (per-tick
         # packing would re-run the concat+pad n*(M+n-1) times fleet-wide)
@@ -169,39 +203,64 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
         x_packed = jnp.pad(
             x_flat, ((0, 0), (0, 0), (0, max_flat - x_flat.shape[2])))
 
-        def tick(buf, t):
+        def tick(carry, t):
+            buf, states = carry
             mb_idx = t - d
             active = (mb_idx >= 0) & (mb_idx < m)
             # stage 0 injects its microbatch from the input feed; every
             # other stage consumes the buffer ppermuted in last tick
             x0 = x_packed[jnp.clip(mb_idx, 0, m - 1)]
             inbuf = jnp.where(d == 0, x0, buf)
-            out = lax.switch(d, branches, params_tuple, inbuf)
+            out, new_states = lax.switch(
+                d, branches, params_tuple, states, inbuf
+            )
             out = jnp.where(active, out, jnp.zeros_like(out))
+            # bubble ticks must not advance the state chain
+            new_states = jax.tree_util.tree_map(
+                lambda nl, ol: jnp.where(active, nl, ol),
+                new_states, states,
+            )
             nxt = (
                 lax.ppermute(out, axis, fwd_perm) if n > 1
                 else jnp.zeros_like(out)
             )
-            return nxt, out
+            return (nxt, new_states), out
 
         buf0 = jnp.zeros((mb, max_flat), dtype)
-        _, outs = lax.scan(tick, buf0, jnp.arange(m + n - 1))
+        (_, states_fin), outs = lax.scan(
+            tick, (buf0, states_tuple), jnp.arange(m + n - 1)
+        )
         # on the LAST device, tick t emitted microbatch t - (n - 1);
         # zero every other device and psum so the result is replicated
         ys = outs[n - 1:]
         ys = jnp.where(d == n - 1, ys, jnp.zeros_like(ys))
-        return lax.psum(ys, axis)
+        ys = lax.psum(ys, axis)
+        # slot i of the final state is authoritative only on device i
+        # (other devices never ran stage i); select-and-psum replicates
+        states_out = tuple(
+            jax.tree_util.tree_map(
+                lambda l, i=i: lax.psum(
+                    jnp.where(d == i, l, jnp.zeros_like(l)), axis
+                ),
+                states_fin[i],
+            )
+            for i in range(n)
+        )
+        return ys, states_out
 
     rep = P()
-    ys = shard_map(
+    ys, new_states = shard_map(
         spmd, mesh=mesh,
-        in_specs=(rep, rep), out_specs=rep,
+        in_specs=(rep, rep, rep), out_specs=(rep, rep),
         check_vma=False,
-    )(stage_params, x_mb)
+    )(stage_params, stage_state, x_mb)
 
     flat = ys.reshape(batch, max_flat)
-    return _unpack(flat[:, :_flat_size(out_shapes)], batch,
-                   out_treedef, out_shapes)
+    out = _unpack(flat[:, :_flat_size(out_shapes)], batch,
+                  out_treedef, out_shapes)
+    if with_state:
+        return out, new_states
+    return out
 
 
 def drow_pipeline_stages(model, variables, train: bool = False,
@@ -261,6 +320,74 @@ def drow_pipeline_stages(model, variables, train: bool = False,
         )
 
     return (stage_backbone, stage_head), (variables, variables)
+
+
+def drow_pipeline_train_stages(model, dropout_rng=None):
+    """TRAINING stages for the DROW detector: per-cutout backbone +
+    temporal fusion | post-fusion head, with BatchNorm state THREADED
+    through :func:`pipeline_apply`'s ``stage_state`` so running-stat
+    updates survive the wavefront.
+
+    BN policy (stated, not accidental): under pipeline parallelism each
+    microbatch normalizes by its OWN statistics — ghost-batch BN with
+    ghost size = microbatch size ([Hoffer et al. 2017], standard
+    practice; often a mild regularizer) — and the running-stat EMA
+    advances once per microbatch in microbatch order. This is exactly
+    the semantics of a sequential loop over microbatches, which is what
+    the parity test pins (``tests/test_pipeline_parallel.py``). It is
+    NOT bitwise the global-batch BN of the unstaged step (reference BN
+    semantics at ``dr_spaam.py:49-57``); a convergence test shows the
+    two train to equivalent losses. Cross-microbatch stat reductions
+    would serialize the wavefront, defeating the schedule.
+
+    Returns ``(stage_fns, split_params, split_stats, combine)`` where
+    ``split_params(params) -> tuple`` / ``split_stats(stats) -> tuple``
+    map a full variable collection to per-stage entries and
+    ``combine(states_tuple) -> batch_stats`` reassembles the updated
+    running stats. Stage fns close over nothing trainable — parameters
+    flow through ``stage_params`` so ``jax.grad`` sees them.
+    """
+    if getattr(model, "dropout", 0) > 0 and dropout_rng is None:
+        raise ValueError(
+            "drow_pipeline_train_stages on a dropout-enabled model "
+            "requires dropout_rng"
+        )
+
+    def _rngs(i):
+        if dropout_rng is None:
+            return {}
+        return {"rngs": {"dropout": jax.random.fold_in(dropout_rng, i)}}
+
+    def stage_backbone(p, stats, x):
+        out, upd = model.apply(
+            {"params": p, "batch_stats": {"backbone": stats}},
+            x, True,
+            method=lambda mdl, xx, tr: jnp.sum(
+                mdl.encode_cutouts(xx, train=tr), axis=2
+            ),
+            mutable=["batch_stats"], **_rngs(0),
+        )
+        return out, upd["batch_stats"]["backbone"]
+
+    def stage_head(p, stats, fused):
+        out, upd = model.apply(
+            {"params": p, "batch_stats": {"head": stats}},
+            fused, True,
+            method=lambda mdl, ff, tr: mdl.fused_head(ff, train=tr),
+            mutable=["batch_stats"], **_rngs(1),
+        )
+        return out, upd["batch_stats"]["head"]
+
+    def split_params(params):
+        return (params, params)  # each stage reads only its submodule
+
+    def split_stats(batch_stats):
+        return (batch_stats["backbone"], batch_stats["head"])
+
+    def combine(states):
+        return {"backbone": states[0], "head": states[1]}
+
+    return (stage_backbone, stage_head), split_params, split_stats, combine
 
 
 def flow_unet_pipeline_stages(model, variables, train: bool = False):

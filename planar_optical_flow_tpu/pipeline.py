@@ -84,6 +84,7 @@ def normalize_config(cfg: dict) -> dict:
                 "epoch": cfg.get("epochs", 1),
                 "compute_dtype": cfg.get("compute_dtype"),
                 "conv_impl": cfg.get("conv_impl"),
+                "pp_microbatches": cfg.get("pp_microbatches"),
             },
             "mesh": cfg.get("mesh"),
             "Optim": {
@@ -262,11 +263,20 @@ class Pipeline:
                 )
 
                 mesh = make_mesh_from_config(pcfg.get("mesh"))
-                data_size = dict(mesh.shape).get("data", mesh.devices.size)
-                if bsz % max(data_size, 1) != 0:
-                    mesh = None  # fall back to single-device jit
-                elif dict(mesh.shape).get("model", 1) > 1:
-                    sharding_fn = state_shardings
+                shape = dict(mesh.shape)
+                if shape.get("pipe", 1) > 1:
+                    # pipe axis: batch must split into the microbatches
+                    # (default = pipe size); Trainer validates the rest
+                    micro = (pcfg["Trainer"].get("pp_microbatches")
+                             or shape["pipe"])
+                    if bsz % max(int(micro), 1) != 0:
+                        mesh = None  # fall back to single-device jit
+                else:
+                    data_size = shape.get("data", mesh.devices.size)
+                    if bsz % max(data_size, 1) != 0:
+                        mesh = None  # fall back to single-device jit
+                    elif shape.get("model", 1) > 1:
+                        sharding_fn = state_shardings
             except Exception:
                 mesh = None
         self.trainer = Trainer(

@@ -207,6 +207,59 @@ class DetectionTask:
             {"pred_cls": pred_cls, "pred_reg": pred_reg},
         )
 
+    def loss_pipelined(self, apply_fn, variables, batch, train, rng=None,
+                       *, mesh, n_microbatches=None):
+        """Training loss with the detector forward run as a GPipe
+        wavefront over the mesh's ``pipe`` axis (backbone | head stages,
+        ``parallel/pipeline_parallel.py``). BatchNorm follows the stated
+        ghost-batch policy: per-microbatch statistics, running-stat EMA
+        advanced once per microbatch in order (see
+        ``drow_pipeline_train_stages``); numerics match a sequential
+        microbatched loop exactly, not the unstaged global-batch step.
+
+        Supports the plain DROW detector only — SpatialDROW's gate is a
+        cross-cutout op BETWEEN the stages and PolarGridDetector has a
+        different trunk; both raise rather than silently destage.
+        """
+        from planar_optical_flow_tpu.models.drow import Drow
+        from planar_optical_flow_tpu.parallel.pipeline_parallel import (
+            drow_pipeline_train_stages,
+            pipeline_apply,
+        )
+
+        model = getattr(apply_fn, "__self__", None)
+        if type(model) is not Drow:
+            raise ValueError(
+                "pipeline-parallel training stages exist for the plain "
+                f"DROW detector only, got {type(model).__name__} — use a "
+                "data/model mesh for other detectors"
+            )
+        if not train:
+            return self.loss(apply_fn, variables, batch, train, rng)
+        encoded = self._encode(batch["scans"]).astype(
+            _model_dtype(variables))
+        fns, split_p, split_s, combine = drow_pipeline_train_stages(
+            model,
+            dropout_rng=rng if getattr(model, "dropout", 0) > 0 else None,
+        )
+        # both stage entries reference the SAME params tracer, so
+        # jax.grad sums the two stages' contributions automatically
+        (pred_cls, pred_reg), new_states = pipeline_apply(
+            fns, split_p(variables["params"]), encoded, mesh,
+            n_microbatches=n_microbatches,
+            stage_state=split_s(variables["batch_stats"]),
+        )
+        cls_loss, reg_loss, fg_ratio = ops.detection_loss(
+            pred_cls, pred_reg, batch["target_cls"], batch["target_reg"],
+            focal_gamma=self.focal_loss_gamma,
+            pedestrian_only=self.pedestrian_only,
+        )
+        loss = cls_loss + reg_loss
+        tb = {"loss": loss, "cls_loss": cls_loss, "reg_loss": reg_loss,
+              "fg_ratio": fg_ratio}
+        return loss, tb, {"pred_cls": pred_cls, "pred_reg": pred_reg}, \
+            combine(new_states)
+
 
 @dataclass(frozen=True)
 class FlowDrowTask(DetectionTask):

@@ -62,6 +62,9 @@ class Trainer:
         self._state_sharding_fn = state_sharding_fn
         self._state_shardings = None
         self._grad_norm_clip = cfg.get("grad_norm_clip", 0.0)
+        # microbatch count for a pipe-axis mesh (defaults to 2x the stage
+        # count inside pipeline_apply when None -> mesh axis size)
+        self._pp_microbatches = cfg.get("pp_microbatches")
         self._ckpt_interval = cfg.get("ckpt_interval", 5)
         self._eval_interval = cfg.get("eval_interval", 5)
         self._max_epoch = cfg.get("epoch", cfg.get("epochs", 1))
@@ -125,6 +128,35 @@ class Trainer:
                 tree,
             )
 
+        # pipeline-parallel training: a mesh with a pipe axis > 1 routes
+        # the loss through the task's GPipe forward (ghost-batch BN
+        # policy; see tasks.loss_pipelined). The batch stays replicated —
+        # microbatches flow device-to-device inside pipeline_apply's own
+        # shard_map.
+        pipe_n = (dict(self._mesh.shape).get("pipe", 1)
+                  if self._mesh is not None else 1)
+        if pipe_n > 1:
+            if not hasattr(task, "loss_pipelined"):
+                raise ValueError(
+                    f"mesh has a pipe axis of {pipe_n} but task "
+                    f"{type(task).__name__} has no loss_pipelined — use a "
+                    "data/model mesh for this task"
+                )
+            if dict(self._mesh.shape).get("data", 1) > 1:
+                raise ValueError(
+                    "pipe cannot be combined with a data axis yet: the "
+                    "batch is replicated across the pipeline (mesh "
+                    f"{dict(self._mesh.shape)})"
+                )
+            import functools as _ft
+
+            loss_call = _ft.partial(
+                task.loss_pipelined, mesh=self._mesh,
+                n_microbatches=self._pp_microbatches,
+            )
+        else:
+            loss_call = task.loss
+
         def train_step(state, batch, rng):
             def loss_fn(params):
                 p = cast_tree(params, cdt) if cdt is not None else params
@@ -134,7 +166,7 @@ class Trainer:
                         cast_tree(state.batch_stats, cdt)
                         if cdt is not None else state.batch_stats
                     )
-                loss, tb, _, new_stats = task.loss(
+                loss, tb, _, new_stats = loss_call(
                     state.apply_fn, variables, batch, True, rng
                 )
                 if cdt is not None:
@@ -165,8 +197,11 @@ class Trainer:
             return metrics
 
         if self._mesh is not None:
-            bs = batch_sharding(self._mesh)
             rep = replicated_sharding(self._mesh)
+            # a pure-pipe mesh has no data axis: the batch is replicated
+            # and pipeline_apply's internal shard_map distributes stages
+            bs = (batch_sharding(self._mesh)
+                  if "data" in self._mesh.axis_names else rep)
             st_sh = (
                 self._state_sharding_fn(self._mesh, state)
                 if self._state_sharding_fn is not None else rep
@@ -187,6 +222,16 @@ class Trainer:
 
     def _place(self, batch):
         if self._mesh is not None:
+            if "data" not in self._mesh.axis_names:
+                # pure-pipe mesh: replicate (see _build_steps)
+                from planar_optical_flow_tpu.parallel.mesh import (
+                    replicated_sharding as _rep,
+                )
+
+                sh = _rep(self._mesh)
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sh), batch
+                )
             return shard_batch(batch, self._mesh)
         return batch
 

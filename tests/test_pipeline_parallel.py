@@ -215,3 +215,243 @@ def test_flow_unet_pipelined_forward_and_grads(rng):
                       jax.tree_util.tree_leaves(g_seq)):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(wg),
                                    rtol=1e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# stage-state threading (ghost-batch BN support) and the productized
+# pipe-axis training path
+# --------------------------------------------------------------------------
+
+
+def test_pipeline_stage_state_threads_in_microbatch_order(rng):
+    """Each stage's state must advance once per microbatch, in order,
+    exactly like a sequential loop (the BN running-stat contract)."""
+    mesh = make_mesh_from_config({"pipe": 2})
+
+    def s0(p, s, x):
+        # state: (count, running sum of inputs) — order-sensitive EMA-ish
+        cnt, acc = s
+        return x * p, (cnt + 1, 0.5 * acc + jnp.sum(x))
+
+    def s1(p, s, x):
+        cnt, acc = s
+        return x + p, (cnt + 1, 0.5 * acc + jnp.sum(x))
+
+    x = jnp.asarray(rng.normal(0, 1, (8, 3)), jnp.float32)
+    params = [jnp.asarray(2.0), jnp.asarray(1.0)]
+    state0 = [(jnp.asarray(0), jnp.asarray(0.0)),
+              (jnp.asarray(0), jnp.asarray(0.0))]
+
+    out, new_states = pipeline_apply([s0, s1], params, x, mesh,
+                                     n_microbatches=4, stage_state=state0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2 + 1,
+                               rtol=1e-6)
+
+    # sequential reference for the state chains
+    acc0 = acc1 = 0.0
+    for i in range(4):
+        mbx = np.asarray(x[i * 2:(i + 1) * 2])
+        acc0 = 0.5 * acc0 + mbx.sum()
+        acc1 = 0.5 * acc1 + (mbx * 2).sum()
+    assert int(new_states[0][0]) == 4 and int(new_states[1][0]) == 4
+    np.testing.assert_allclose(float(new_states[0][1]), acc0, rtol=1e-5)
+    np.testing.assert_allclose(float(new_states[1][1]), acc1, rtol=1e-5)
+
+
+def _detection_fixture(rng, batch=8, num_pts=48, n_scans=2):
+    from planar_optical_flow_tpu.models import Drow
+    from planar_optical_flow_tpu.train import tasks
+
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=8,
+                         padding_val=29.99)
+    batch_d = {
+        "scans": rng.uniform(0.5, 20.0, (batch, n_scans + 1, num_pts))
+        .astype(np.float32),
+        "target_cls": rng.integers(0, 2, (batch, num_pts)).astype(np.int32),
+        "target_reg": rng.normal(size=(batch, num_pts, 2))
+        .astype(np.float32),
+    }
+    model = Drow(pedestrian_only=True)
+    task = tasks.DetectionTask(cutout_kwargs=cutout_kwargs, num_pts=num_pts)
+    x = jnp.zeros((batch, num_pts, n_scans + 1, 8))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, task, variables, batch_d
+
+
+def test_detection_loss_pipelined_matches_sequential_ghost_bn(rng):
+    """loss_pipelined == a sequential microbatched loop with ghost-batch
+    BN (per-microbatch stats, EMA advanced per microbatch in order):
+    outputs, loss, grads AND the updated running stats."""
+    from planar_optical_flow_tpu.ops import detection_loss
+
+    model, task, variables, batch = _detection_fixture(rng)
+    mesh = make_mesh_from_config({"pipe": 2})
+    m = 4
+
+    def pp_loss(params):
+        loss, tb, rtn, new_stats = task.loss_pipelined(
+            model.apply, {"params": params,
+                          "batch_stats": variables["batch_stats"]},
+            batch, True, None, mesh=mesh, n_microbatches=m)
+        return loss, (rtn, new_stats)
+
+    (loss_pp, (rtn_pp, stats_pp)), grads_pp = jax.value_and_grad(
+        pp_loss, has_aux=True)(variables["params"])
+
+    # sequential ghost-BN reference (the stated numerics policy)
+    encoded = np.asarray(task._encode(batch["scans"]))
+    mb = encoded.shape[0] // m
+
+    def seq_loss(params):
+        stats = variables["batch_stats"]
+        cls_all, reg_all = [], []
+        for i in range(m):
+            xin = jnp.asarray(encoded[i * mb:(i + 1) * mb])
+            (cls, reg), upd = model.apply(
+                {"params": params, "batch_stats": stats}, xin, True,
+                mutable=["batch_stats"])
+            stats = upd["batch_stats"]
+            cls_all.append(cls)
+            reg_all.append(reg)
+        pred_cls = jnp.concatenate(cls_all)
+        pred_reg = jnp.concatenate(reg_all)
+        c, r, _ = detection_loss(pred_cls, pred_reg, batch["target_cls"],
+                                 batch["target_reg"],
+                                 pedestrian_only=True)
+        return c + r, (pred_cls, pred_reg, stats)
+
+    (loss_seq, (cls_seq, reg_seq, stats_seq)), grads_seq = \
+        jax.value_and_grad(seq_loss, has_aux=True)(variables["params"])
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_seq), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rtn_pp["pred_cls"]),
+                               np.asarray(cls_seq), rtol=1e-4, atol=1e-5)
+    for got, want in zip(jax.tree_util.tree_leaves(stats_pp),
+                         jax.tree_util.tree_leaves(stats_seq)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+    for got, want in zip(jax.tree_util.tree_leaves(grads_pp),
+                         jax.tree_util.tree_leaves(grads_seq)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_trainer_pipe_axis_end_to_end(rng, tmp_path):
+    """`pipeline.mesh: {pipe: 2}` trains the detector through the product
+    Trainer: optimizer steps, running-stat updates, periodic checkpoint,
+    sigterm -> checkpoint -> restore -> continue."""
+    import os
+
+    from planar_optical_flow_tpu.train import (
+        Trainer, create_train_state, make_optimizer, tasks,
+        restore_checkpoint,
+    )
+    from planar_optical_flow_tpu.utils import RunLogger
+
+    model, task, variables, _ = _detection_fixture(rng)
+    batches = []
+    for _ in range(4):
+        batches.append({
+            "scans": rng.uniform(0.5, 20.0, (8, 3, 48)).astype(np.float32),
+            "target_cls": rng.integers(0, 2, (8, 48)).astype(np.int32),
+            "target_reg": rng.normal(size=(8, 48, 2)).astype(np.float32),
+        })
+    tx = make_optimizer({"scheduler_kwargs": {"lr0": 1e-3}},
+                        steps_per_epoch=len(batches))
+    x = jnp.zeros((8, 48, 3, 8))
+    state = create_train_state(model, (x,), tx,
+                               init_kwargs={"train": False})
+    # materialize: the jitted step donates the state, deleting the originals
+    stats0 = [np.asarray(l) for l in
+              jax.tree_util.tree_leaves(state.batch_stats)]
+
+    mesh = make_mesh_from_config({"pipe": 2})
+    logger = RunLogger({"log_dir": str(tmp_path), "tag": "pp"})
+    trainer = Trainer(
+        logger, {"epoch": 2, "ckpt_interval": 1, "eval_interval": 0,
+                 "pp_microbatches": 4},
+        task, mesh=mesh, install_signal_handlers=False,
+    )
+    state, rc = trainer.train(state, batches)
+    assert rc == 0 and int(state.step) == 8
+    assert os.path.isdir(os.path.join(logger.ckpt_dir, "ckpt_e2"))
+    # BN running stats actually advanced through the wavefront
+    changed = [
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(stats0,
+                        jax.tree_util.tree_leaves(state.batch_stats))
+    ]
+    assert any(changed)
+
+    import json as _json
+
+    losses = [
+        _json.loads(line)["value"]
+        for line in open(os.path.join(logger.tb_dir, "scalars.jsonl"))
+        if _json.loads(line)["key"] == "TRAIN_loss"
+    ]
+    assert len(losses) == 8 and losses[-1] < losses[0]
+
+    # preemption mid-training: sigterm checkpoint written, rc=1, restore
+    trainer2 = Trainer(
+        logger, {"epoch": 4, "ckpt_interval": 0, "eval_interval": 0,
+                 "pp_microbatches": 4},
+        task, mesh=mesh, install_signal_handlers=False,
+    )
+    trainer2.request_stop()
+    state2, rc2 = trainer2.train(state, batches)
+    assert rc2 == 1 and os.path.isdir(logger.sigterm_ckpt)
+    restored = restore_checkpoint(logger.sigterm_ckpt, state2)
+    assert int(restored.step) == int(state2.step)
+
+
+@pytest.mark.slow
+def test_ghost_bn_training_converges_like_global_bn(rng, tmp_path):
+    """Numerics-policy check for the pipe axis: ghost-batch BN training
+    (per-microbatch stats) reaches the same loss neighborhood as the
+    global-batch BN single-device step on identical data and seeds."""
+    from planar_optical_flow_tpu.train import (
+        Trainer, create_train_state, make_optimizer,
+    )
+    from planar_optical_flow_tpu.utils import RunLogger
+    import json as _json
+    import os
+
+    model, task, variables, _ = _detection_fixture(rng)
+    batches = []
+    for _ in range(4):
+        batches.append({
+            "scans": rng.uniform(0.5, 20.0, (8, 3, 48)).astype(np.float32),
+            "target_cls": rng.integers(0, 2, (8, 48)).astype(np.int32),
+            "target_reg": rng.normal(size=(8, 48, 2)).astype(np.float32),
+        })
+
+    def run(mesh, tag, micro=None):
+        tx = make_optimizer({"scheduler_kwargs": {"lr0": 1e-3}},
+                            steps_per_epoch=len(batches))
+        x = jnp.zeros((8, 48, 3, 8))
+        state = create_train_state(model, (x,), tx,
+                                   init_kwargs={"train": False})
+        logger = RunLogger({"log_dir": str(tmp_path), "tag": tag})
+        cfg = {"epoch": 3, "ckpt_interval": 0, "eval_interval": 0}
+        if micro:
+            cfg["pp_microbatches"] = micro
+        tr = Trainer(logger, cfg, task, mesh=mesh,
+                     install_signal_handlers=False, seed=0)
+        tr.train(state, batches)
+        return [
+            _json.loads(line)["value"]
+            for line in open(os.path.join(logger.tb_dir, "scalars.jsonl"))
+            if _json.loads(line)["key"] == "TRAIN_loss"
+        ]
+
+    l_pp = run(make_mesh_from_config({"pipe": 2}), "ghost", micro=4)
+    l_1d = run(None, "global")
+    assert len(l_pp) == len(l_1d) == 12
+    # both train; the two BN policies land in the same loss neighborhood
+    assert l_pp[-1] < 0.7 * l_pp[0]
+    assert l_1d[-1] < 0.7 * l_1d[0]
+    final_pp = np.mean(l_pp[-4:])
+    final_1d = np.mean(l_1d[-4:])
+    assert abs(final_pp - final_1d) / final_1d < 0.25, (final_pp, final_1d)
