@@ -130,8 +130,7 @@ class DrowDetectionDataset:
         if not stems:
             raise FileNotFoundError(f"no sequences under {data_dir}/{split}")
 
-        phi = get_laser_phi()
-        self.phi_grid = phi.astype(np.float32)
+        phi = None  # beam geometry inferred from the first sequence read
 
         all_scans, stack_idx, cur_idx = [], [], []
         det_rphi, det_cls_r, det_dyn_r, det_lab = [], [], [], []
@@ -141,6 +140,11 @@ class DrowDetectionDataset:
 
         for stem in stems:
             scan_ids, scan_t, scans = drow_io.load_scan_file(stem)
+            if phi is None:
+                # SICK FOV spread over however many beams the corpus has
+                # (450 for DROWv2; synthetic/test corpora may differ)
+                phi = get_laser_phi(num_pts=scans.shape[-1])
+                self.phi_grid = phi.astype(np.float32)
             _, odom_t, odom = drow_io.load_odometry_file(stem)
             ann_ids, wcs, was, wps = drow_io.load_detection_file(stem)
 

@@ -37,11 +37,15 @@ class FlowScanPairDataset:
             raise FileNotFoundError(f"no sequences under {data_dir}/{split}")
 
         scans_list, next_list, flow_list, odom_list, mask_list = [], [], [], [], []
-        phi = get_laser_phi()
-        self.phi_grid = phi.astype(np.float32)
+        phi = None  # beam geometry inferred from the first sequence read
 
         for stem in stems:
             _, scan_t, scans = drow_io.load_scan_file(stem)
+            if phi is None:
+                # SICK FOV spread over however many beams the corpus has
+                # (450 for DROWv2; synthetic/test corpora may differ)
+                phi = get_laser_phi(num_pts=scans.shape[-1])
+                self.phi_grid = phi.astype(np.float32)
             dts, dposes = drow_io.load_diff_odometry_file(stem)
             flows = drow_io.load_flow_file(stem, scans.shape[-1])
             _, odom_t, odom_abs = drow_io.load_odometry_file(stem)
