@@ -158,11 +158,22 @@ def main(argv=None):
                 # encode path observes the same data distribution it serves)
                 calib_scans = np.asarray(scans[:8], np.float32)
 
+        # request only what this CLI reads: detections + flow (when the
+        # model has a flow head) + instance_mask only when rendering a
+        # video (its only consumer is the viz instance coloring) — the
+        # serving program drops the unrequested epilogues (measured
+        # ~+300 scans/s at B=128; experiments/probe_output_fields.py)
+        fields = ["det_xys", "det_cls", "det_keep"]
+        if cfg["model"]["type"] == "flow_drow":
+            fields.append("pred_flow")
+        if args.video:
+            fields.append("instance_mask")
         runner = StreamingRunner(model, state.variables,
                                  cfg["dataset"].get("cutout_kwargs", {}),
                                  num_pts=scans.shape[1],
                                  engine=args.engine, calib=calib,
-                                 calib_scans=calib_scans)
+                                 calib_scans=calib_scans,
+                                 output_fields=tuple(fields))
     if args.save_calib:
         if runner.calibration is None:
             print("error: no calibration produced to save", file=sys.stderr)

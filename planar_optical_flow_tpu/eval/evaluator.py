@@ -279,14 +279,19 @@ def evaluate_detection_ap_batched(model, variables, cutout_kwargs, frames,
     if step is not None:
         pass  # caller-provided (cached) serving step
     elif engine == "v3":
-        step = make_serve_step_v3(model, variables, cutout_kwargs,
-                                  num_pts=num_pts, precision="bf16",
-                                  interpret=interpret)
+        # the matcher reads only the NMS detections: dropping the other
+        # outputs DCEs the instance assignment + flow/prob epilogues
+        step = make_serve_step_v3(
+            model, variables, cutout_kwargs, num_pts=num_pts,
+            precision="bf16",
+            output_fields=("det_xys", "det_cls", "det_keep"),
+            interpret=interpret)
     elif engine == "int8c":
         step = make_serve_step_v3(
             model, variables, cutout_kwargs, num_pts=num_pts,
             precision="int8c", calib=calib,
             calib_scans=None if calib is not None else frames.scans[:8],
+            output_fields=("det_xys", "det_cls", "det_keep"),
             interpret=interpret)
     else:
         if gate_mix is None:

@@ -443,6 +443,7 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                        fuse_gate_head: bool = False,
                        calib_percentile: float | None = None,
                        calib_steps: int = 2,
+                       output_fields=None,
                        interpret: bool = False):
     """Flat-layout fused serving step (fastest path, see BASELINE.md).
 
@@ -462,6 +463,11 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     calibration, or ``calib`` (an ``infer.calibration.ServeCalibration``,
     e.g. restored from a checkpoint directory). The calibration in effect
     is exposed as ``step.calibration`` for persisting.
+    ``output_fields`` restricts the outputs dict to the named keys
+    (unknown names raise, listing what this step produces); XLA then
+    dead-code-eliminates whatever only fed the dropped fields — e.g.
+    the AP evaluator requests ``("det_xys", "det_cls", "det_keep")``
+    and pays for neither the instance assignment nor the flow head.
     ``calib_percentile`` clips activation calibration at that
     abs-percentile instead of the exact abs-max (outlier-robust — rare
     spikes otherwise waste int8 resolution on the bulk); ``calib_steps``
@@ -911,6 +917,24 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
         cls, reg = head(template)
         return _finish(carry, scan, b, template, z, sim, cls, reg)
 
+    # output_fields: restrict the caller-facing outputs to these keys —
+    # XLA dead-code-eliminates whatever only feeds dropped fields (e.g.
+    # the NMS instance assignment when "instance_mask" isn't requested),
+    # so an output-lean caller gets a leaner program, not just a smaller
+    # dict. None = the full contract.
+    _all_fields = (("pred_cls", "pred_reg")
+                   + (("pred_flow",) if is_flow else ())
+                   + (("det_xys", "det_cls", "det_keep", "instance_mask")
+                      if with_nms else ()))
+    if output_fields is not None:
+        bad = set(output_fields) - set(_all_fields)
+        if bad:
+            raise ValueError(
+                f"unknown output_fields {sorted(bad)}; this step produces "
+                f"{list(_all_fields)} (is_flow={is_flow}, "
+                f"with_nms={with_nms})")
+        output_fields = tuple(output_fields)
+
     def _finish(carry, scan, b, template, z, sim, cls, reg):
         pred_cls = (cls.reshape(b, p_pad, -1)[:, :num_pts]
                     .astype(jnp.float32))
@@ -926,6 +950,8 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                                   with_nms=with_nms,
                                   nms_min_dist=nms_min_dist,
                                   nms_top_k=nms_top_k)
+        if output_fields is not None:
+            out = {k: out[k] for k in output_fields}
         return {"template": template, "z": z}, out
 
     if mesh is not None:
@@ -1143,7 +1169,8 @@ class StreamingRunner:
 
     def __init__(self, model, variables, cutout_kwargs, num_pts: int = 450,
                  nms_min_dist: float = 0.5, with_nms: bool = True,
-                 engine: str = "module", calib=None, calib_scans=None):
+                 engine: str = "module", calib=None, calib_scans=None,
+                 output_fields=None):
         if engine not in ("module", "v3", "int8c"):
             raise ValueError(f"unknown engine {engine!r}")
         self._engine = engine
@@ -1151,6 +1178,11 @@ class StreamingRunner:
         self._template = None
         self._pending_reset = None
         self._step = self._step_v3 = None
+        # v3 engines push the restriction into the program (XLA DCEs the
+        # unrequested epilogues); the module path filters post-hoc so the
+        # caller-facing contract is uniform across engines
+        self._output_fields = (tuple(output_fields)
+                               if output_fields is not None else None)
         self.calibration = None
         if engine == "module":
             self._step = make_stream_step(
@@ -1171,6 +1203,7 @@ class StreamingRunner:
             model, variables, cutout_kwargs, num_pts=num_pts,
             nms_min_dist=nms_min_dist, with_nms=with_nms,
             precision="bf16" if engine == "v3" else "int8c",
+            output_fields=self._output_fields,
             interpret=jax.default_backend() == "cpu", **kw,
         )
         if engine == "v3":
@@ -1235,6 +1268,15 @@ class StreamingRunner:
     def _dispatch(self, carry, scan):
         if self._step is not None:
             carry, out = self._step(self._variables, carry, scan)
+            if self._output_fields is not None:
+                # uniform contract across engines (the module step has no
+                # in-program restriction — validate + filter here)
+                bad = set(self._output_fields) - set(out)
+                if bad:
+                    raise ValueError(
+                        f"unknown output_fields {sorted(bad)}; this step "
+                        f"produces {sorted(out)}")
+                out = {k: out[k] for k in self._output_fields}
         else:
             carry, out = self._step_v3(carry, scan)
         return carry, out

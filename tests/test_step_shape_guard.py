@@ -124,3 +124,51 @@ def test_flagship_bootstrap_structure_pinned():
     assert counts.get("pallas_call", 0) == 4
     assert counts.get("conv_general_dilated", 0) == 4
     assert counts.get("top_k", 0) == 1
+
+
+def test_output_fields_subset_and_validation():
+    """output_fields must (a) return exactly the requested keys with
+    values identical to the full-contract step, (b) reject unknown
+    names with the available list."""
+    import pytest
+
+    from planar_optical_flow_tpu.models import FlowDrow
+    from planar_optical_flow_tpu.infer.streaming import make_serve_step_v3
+
+    num_pts, batch = 64, 4
+    cutout_kwargs = dict(fixed=True, centered=True, window_width=1.0,
+                         window_depth=0.5, num_cutout_pts=16,
+                         padding_val=29.99, area_mode=True,
+                         gather_mode="matmul")
+    model = FlowDrow(window_size=5, pedestrian_only=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, num_pts, 1, 16)),
+        jnp.zeros((1, num_pts)), train=False)
+    rng = np.random.default_rng(0)
+    calib = rng.uniform(0.5, 20.0, (batch, num_pts)).astype(np.float32)
+    common = dict(calib_scans=calib, num_pts=num_pts, precision="int8c",
+                  tile=16, layout="p2", pm_tile=32, interpret=True)
+
+    full = make_serve_step_v3(model, variables, cutout_kwargs, **common)
+    lean = make_serve_step_v3(
+        model, variables, cutout_kwargs,
+        output_fields=("det_xys", "det_cls", "det_keep"), **common)
+
+    scan = jnp.asarray(rng.uniform(0.5, 20.0, (batch, num_pts)),
+                       jnp.float32)
+    cf, of = full(None, scan)
+    cl, ol = lean(None, scan)
+    assert sorted(ol) == ["det_cls", "det_keep", "det_xys"]
+    for k in ol:
+        np.testing.assert_array_equal(np.asarray(ol[k]),
+                                      np.asarray(of[k]))
+    # carried step too (the jitted program the loop actually runs)
+    cf, of = full(cf, scan)
+    cl, ol = lean(cl, scan)
+    for k in ol:
+        np.testing.assert_array_equal(np.asarray(ol[k]),
+                                      np.asarray(of[k]))
+
+    with pytest.raises(ValueError, match="unknown output_fields"):
+        make_serve_step_v3(model, variables, cutout_kwargs,
+                           output_fields=("det_xys", "nope"), **common)
