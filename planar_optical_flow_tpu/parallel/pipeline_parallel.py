@@ -81,7 +81,8 @@ def _unpack(buf, mb: int, treedef, shapes):
 
 
 def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
-                   n_microbatches: int | None = None, stage_state=None):
+                   n_microbatches: int | None = None, stage_state=None,
+                   data_axis: str = "data"):
     """Apply ``stage_fns[n-1](p[n-1], ... stage_fns[0](p[0], x))`` as a
     GPipe wavefront over ``mesh.shape[axis]`` devices.
 
@@ -106,6 +107,15 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
         microbatched loop's update chain (EMA updates included). The
         state never enters the inter-stage transfer buffer (any dtype,
         any pytree).
+      data_axis: when the mesh ALSO has this axis (size > 1), the
+        pipeline composes with data parallelism: every microbatch's rows
+        are sharded over ``data_axis`` (each data shard runs its own
+        wavefront over its row slice; ppermute hops stay within a data
+        shard's pipe ring), outputs come back batch-sharded, and the
+        per-stage states are ``pmean``-ed over the data shards — the dp
+        analogue of GSPMD's global batch stats, stated: under dp x pp
+        the ghost "batch" is a microbatch's PER-SHARD row slice, and
+        running stats average the shards' chains.
 
     Returns the last stage's output pytree with leading dim ``B``, or
     ``(output, new_stage_states)`` when ``stage_state`` is given (each
@@ -144,6 +154,13 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
     if batch % m:
         raise ValueError(f"batch {batch} not divisible by {m} microbatches")
     mb = batch // m
+    n_data = (int(mesh.shape[data_axis])
+              if data_axis in mesh.axis_names else 1)
+    if mb % n_data:
+        raise ValueError(
+            f"microbatch rows {mb} (batch {batch} / {m} microbatches) not "
+            f"divisible by the {data_axis} axis size {n_data}")
+    mb_local = mb // n_data
 
     # microbatch the input: every leaf (B, ...) -> (M, mb, ...)
     x_mb = jax.tree_util.tree_map(
@@ -182,11 +199,12 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
 
     def stage_branch(i, params_tuple, states_tuple, buf):
         in_td, in_sh, _, _ = io[i]
-        xin = _unpack(buf[:, :_flat_size(in_sh)], mb, in_td, in_sh)
+        rows = buf.shape[0]  # mb_local under dp, mb otherwise
+        xin = _unpack(buf[:, :_flat_size(in_sh)], rows, in_td, in_sh)
         y, new_si = fns[i](params_tuple[i], states_tuple[i], xin)
         new_states = (states_tuple[:i] + (new_si,)
                       + states_tuple[i + 1:])
-        return _pack(y, mb, max_flat), new_states
+        return _pack(y, rows, max_flat), new_states
 
     branches = tuple(
         functools.partial(stage_branch, i) for i in range(n)
@@ -198,8 +216,9 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
         # pack the input feed ONCE, outside the tick scan (per-tick
         # packing would re-run the concat+pad n*(M+n-1) times fleet-wide)
         x_leaves = jax.tree_util.tree_leaves(x_mb)
+        rows = x_leaves[0].shape[1]  # mb_local under dp
         x_flat = jnp.concatenate(
-            [l.reshape(m, mb, -1) for l in x_leaves], axis=2)
+            [l.reshape(m, rows, -1) for l in x_leaves], axis=2)
         x_packed = jnp.pad(
             x_flat, ((0, 0), (0, 0), (0, max_flat - x_flat.shape[2])))
 
@@ -226,32 +245,41 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
             )
             return (nxt, new_states), out
 
-        buf0 = jnp.zeros((mb, max_flat), dtype)
+        buf0 = jnp.zeros((rows, max_flat), dtype)
         (_, states_fin), outs = lax.scan(
             tick, (buf0, states_tuple), jnp.arange(m + n - 1)
         )
         # on the LAST device, tick t emitted microbatch t - (n - 1);
         # zero every other device and psum so the result is replicated
+        # over the pipe axis (still sharded over data, if present)
         ys = outs[n - 1:]
         ys = jnp.where(d == n - 1, ys, jnp.zeros_like(ys))
         ys = lax.psum(ys, axis)
         # slot i of the final state is authoritative only on device i
         # (other devices never ran stage i); select-and-psum replicates
+        # over pipe, then pmean over data averages the shards' chains
+        def finalize(l, i):
+            l = lax.psum(jnp.where(d == i, l, jnp.zeros_like(l)), axis)
+            if n_data > 1:
+                l = lax.pmean(l, data_axis)
+            return l
+
         states_out = tuple(
             jax.tree_util.tree_map(
-                lambda l, i=i: lax.psum(
-                    jnp.where(d == i, l, jnp.zeros_like(l)), axis
-                ),
-                states_fin[i],
+                lambda l, i=i: finalize(l, i), states_fin[i],
             )
             for i in range(n)
         )
         return ys, states_out
 
     rep = P()
+    # under dp the microbatch ROWS (dim 1 of every (M, mb, ...) leaf)
+    # shard over the data axis; pipe stays fully replicated in the specs
+    # (the wavefront's device-placement is via axis_index, not sharding)
+    x_spec = P(None, data_axis) if n_data > 1 else rep
     ys, new_states = shard_map(
         spmd, mesh=mesh,
-        in_specs=(rep, rep, rep), out_specs=(rep, rep),
+        in_specs=(rep, rep, x_spec), out_specs=(x_spec, rep),
         check_vma=False,
     )(stage_params, stage_state, x_mb)
 

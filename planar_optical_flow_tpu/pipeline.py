@@ -266,10 +266,12 @@ class Pipeline:
                 shape = dict(mesh.shape)
                 if shape.get("pipe", 1) > 1:
                     # pipe axis: batch must split into the microbatches
-                    # (default = pipe size); Trainer validates the rest
-                    micro = (pcfg["Trainer"].get("pp_microbatches")
-                             or shape["pipe"])
-                    if bsz % max(int(micro), 1) != 0:
+                    # (default = pipe size) and each microbatch's rows
+                    # over a data axis, if any; Trainer validates the rest
+                    micro = int(pcfg["Trainer"].get("pp_microbatches")
+                                or shape["pipe"])
+                    rows = shape.get("data", 1) * max(micro, 1)
+                    if bsz % max(rows, 1) != 0:
                         mesh = None  # fall back to single-device jit
                 else:
                     data_size = shape.get("data", mesh.devices.size)

@@ -142,12 +142,9 @@ class Trainer:
                     f"{type(task).__name__} has no loss_pipelined — use a "
                     "data/model mesh for this task"
                 )
-            if dict(self._mesh.shape).get("data", 1) > 1:
-                raise ValueError(
-                    "pipe cannot be combined with a data axis yet: the "
-                    "batch is replicated across the pipeline (mesh "
-                    f"{dict(self._mesh.shape)})"
-                )
+            # a data axis composes: pipeline_apply shards every
+            # microbatch's rows over it (dp x pp; per-shard ghost-BN
+            # chains pmean-ed — see pipeline_parallel.py)
             import functools as _ft
 
             loss_call = _ft.partial(

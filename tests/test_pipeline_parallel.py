@@ -337,6 +337,7 @@ def test_detection_loss_pipelined_matches_sequential_ghost_bn(rng):
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_pipe_axis_end_to_end(rng, tmp_path):
     """`pipeline.mesh: {pipe: 2}` trains the detector through the product
     Trainer: optimizer steps, running-stat updates, periodic checkpoint,
@@ -455,3 +456,91 @@ def test_ghost_bn_training_converges_like_global_bn(rng, tmp_path):
     final_pp = np.mean(l_pp[-4:])
     final_1d = np.mean(l_1d[-4:])
     assert abs(final_pp - final_1d) / final_1d < 0.25, (final_pp, final_1d)
+
+
+def test_pipeline_composes_with_data_axis(rng):
+    """dp x pp: on a {data, pipe} mesh the microbatch rows shard over
+    data while the wavefront runs over pipe — forward output must equal
+    the sequential chain (stateless stages; row sharding is pure
+    layout)."""
+    fns, params = _mlp_stages(rng, widths=(6, 16, 12, 8, 4))
+    mesh = make_mesh_from_config({"data": 2, "pipe": 4})
+    x = jnp.asarray(rng.normal(0, 1, (16, 6)), jnp.float32)
+    want = _sequential(fns, params, x)
+    got = jax.jit(
+        functools.partial(pipeline_apply, fns, mesh=mesh,
+                          n_microbatches=4)
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-6)
+    # microbatch rows not divisible by the data axis -> explicit error
+    # (batch 12 / 4 microbatches = 3 rows, unsplittable over data=2)
+    with pytest.raises(ValueError, match="not divisible by the data"):
+        pipeline_apply(fns, params, x[:12], mesh, n_microbatches=4)
+
+
+def test_detection_loss_pipelined_dp_pp_matches_sequential(rng):
+    """dp x pp with threaded BN state: per-shard ghost chains, final
+    running stats = mean over the data shards — against an explicit
+    per-shard sequential reference (loss, outputs, grads, stats)."""
+    from planar_optical_flow_tpu.ops import detection_loss
+
+    model, task, variables, batch = _detection_fixture(rng, batch=8)
+    mesh = make_mesh_from_config({"data": 2, "pipe": 2})
+    m, d_sh = 2, 2
+
+    def pp_loss(params):
+        loss, tb, rtn, new_stats = task.loss_pipelined(
+            model.apply, {"params": params,
+                          "batch_stats": variables["batch_stats"]},
+            batch, True, None, mesh=mesh, n_microbatches=m)
+        return loss, (rtn, new_stats)
+
+    (loss_pp, (rtn_pp, stats_pp)), grads_pp = jax.value_and_grad(
+        pp_loss, has_aux=True)(variables["params"])
+
+    encoded = np.asarray(task._encode(batch["scans"]))
+    mb = encoded.shape[0] // m          # rows per microbatch
+    rows = mb // d_sh                   # rows per (microbatch, shard)
+
+    def seq_loss(params):
+        cls_all = [None] * m
+        reg_all = [None] * m
+        shard_stats = []
+        for s in range(d_sh):
+            stats = variables["batch_stats"]
+            for i in range(m):
+                lo = i * mb + s * rows
+                xin = jnp.asarray(encoded[lo:lo + rows])
+                (cls, reg), upd = model.apply(
+                    {"params": params, "batch_stats": stats}, xin, True,
+                    mutable=["batch_stats"])
+                stats = upd["batch_stats"]
+                cls_all[i] = (cls if cls_all[i] is None
+                              else jnp.concatenate([cls_all[i], cls]))
+                reg_all[i] = (reg if reg_all[i] is None
+                              else jnp.concatenate([reg_all[i], reg]))
+            shard_stats.append(stats)
+        final_stats = jax.tree_util.tree_map(
+            lambda *ls: jnp.mean(jnp.stack(ls), axis=0), *shard_stats)
+        pred_cls = jnp.concatenate(cls_all)
+        pred_reg = jnp.concatenate(reg_all)
+        c, r, _ = detection_loss(pred_cls, pred_reg, batch["target_cls"],
+                                 batch["target_reg"],
+                                 pedestrian_only=True)
+        return c + r, (pred_cls, pred_reg, final_stats)
+
+    (loss_seq, (cls_seq, reg_seq, stats_seq)), grads_seq = \
+        jax.value_and_grad(seq_loss, has_aux=True)(variables["params"])
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_seq), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rtn_pp["pred_cls"]),
+                               np.asarray(cls_seq), rtol=2e-4, atol=1e-5)
+    for got, want in zip(jax.tree_util.tree_leaves(stats_pp),
+                         jax.tree_util.tree_leaves(stats_seq)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+    for got, want in zip(jax.tree_util.tree_leaves(grads_pp),
+                         jax.tree_util.tree_leaves(grads_seq)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=2e-5)
