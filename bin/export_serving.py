@@ -50,6 +50,15 @@ def main(argv=None):
                              "--ckpt")
     parser.add_argument("--num-pts", type=int, default=450)
     parser.add_argument("--tile", type=int, default=128)
+    parser.add_argument("--fields", default=None,
+                        help="comma list of output fields to bake into "
+                             "the artifact (e.g. "
+                             "pred_flow,det_xys,det_cls,det_keep); XLA "
+                             "dead-code-eliminates the dropped epilogues "
+                             "at export, so a lean artifact is a leaner "
+                             "program, not a filtered dict (~+300 "
+                             "scans/s at B=128 without instance_mask). "
+                             "Default: the full contract")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -112,11 +121,13 @@ def main(argv=None):
     # only runs on that platform family — TPU exports for deployment,
     # CPU (interpret) exports for CPU hosts and the test suite
     interpret = jax.default_backend() == "cpu"
+    fields = tuple(args.fields.split(",")) if args.fields else None
     step = make_serve_step_v3(
         model, state.variables,
         cfg["dataset"].get("cutout_kwargs", {}),
         calib=calib, num_pts=args.num_pts,
-        precision=args.engine, tile=args.tile, interpret=interpret)
+        precision=args.engine, tile=args.tile, output_fields=fields,
+        interpret=interpret)
 
     scan_spec = [jax.ShapeDtypeStruct((b, args.num_pts), np.float32)
                  for b in batches]
@@ -128,6 +139,7 @@ def main(argv=None):
         "cfg": os.path.abspath(args.cfg),
         "ckpt": os.path.abspath(args.ckpt) if args.ckpt else None,
         "interpret": interpret,
+        "output_fields": list(fields) if fields else None,
     })
     sizes = {f: os.path.getsize(os.path.join(args.out, f))
              for f in os.listdir(args.out)}

@@ -792,3 +792,47 @@ def test_next_generation_corrupt_meta_scans_bins(tmp_path):
     # readable meta wins regardless of bins
     (tmp_path / "engine.json").write_text('{"generation": 7}')
     assert _next_generation(d, "engine.json") == 8
+
+
+def test_export_cli_lean_fields(tmp_path):
+    """--fields bakes an output-lean program into the artifact: the
+    loaded engine returns exactly those keys, bit-identical to the full
+    engine's values, and the meta records the contract."""
+    import bin.export_serving as export_cli
+    from planar_optical_flow_tpu.infer import load_serving_engine
+
+    num_pts = 64
+    cfg = {
+        "network": "cutout_spatial", "pedestrian_only": True,
+        "similarity_kwargs": {"alpha": 0.5, "window_size": 5},
+        "cutout_kwargs": {"fixed": True, "centered": True,
+                          "window_width": 1.0, "window_depth": 0.5,
+                          "num_cutout_pts": 16, "padding_val": 29.99,
+                          "area_mode": True, "gather_mode": "matmul"},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    common = ["--cfg", str(cfg_path), "--batch", "2", "--num-pts",
+              str(num_pts), "--tile", "16", "--engine", "bf16", "--cpu"]
+    full_dir, lean_dir = str(tmp_path / "full"), str(tmp_path / "lean")
+    assert export_cli.main(["--out", full_dir] + common) == 0
+    assert export_cli.main(
+        ["--out", lean_dir, "--fields", "pred_flow,det_xys,det_keep"]
+        + common) == 0
+
+    full = load_serving_engine(full_dir)
+    lean = load_serving_engine(lean_dir)
+    assert lean.meta["output_fields"] == ["pred_flow", "det_xys",
+                                          "det_keep"]
+    assert full.meta["output_fields"] is None
+
+    rng = np.random.default_rng(3)
+    scan = jnp.asarray(rng.uniform(0.5, 20.0, (2, num_pts)), jnp.float32)
+    cf, of = full(None, scan)
+    cl, ol = lean(None, scan)
+    assert sorted(ol) == ["det_keep", "det_xys", "pred_flow"]
+    cf, of = full(cf, scan)
+    cl, ol = lean(cl, scan)
+    for k in ol:
+        np.testing.assert_array_equal(np.asarray(ol[k]),
+                                      np.asarray(of[k]))
