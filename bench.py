@@ -139,7 +139,7 @@ def main():
     # same day) — the fastest window is the measurement least polluted by
     # relay traffic, and the device program is identical across windows.
     windows = []
-    for _ in range(int(os.environ.get("BENCH_WINDOWS", "3"))):
+    for _ in range(max(1, int(os.environ.get("BENCH_WINDOWS", "3")))):
         t0 = time.perf_counter()
         for _ in range(iters):
             template, out = step(variables, template, scan)

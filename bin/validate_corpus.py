@@ -96,13 +96,17 @@ def _cross_check_csv(path: str) -> str:
         py = np.loadtxt(path, delimiter=",", dtype=np.float64, ndmin=2)
     except ValueError as e:
         raise ValueError(f"python CSV parse failed on {path}: {e}")
-    nat = None
-    try:
-        nat = native.read_csv(path)
-    except Exception as e:  # noqa: BLE001
-        raise ValueError(f"native CSV parser failed on {path}: {e}")
-    if nat is None:
+    if native._load() is None:
+        # availability probed SEPARATELY from the parse result:
+        # read_csv returns None both when the library is absent and
+        # when the parser rejects the file, and the whole point of the
+        # cross-check is to surface the latter divergence
         return "native parser not built (python only)"
+    nat = native.read_csv(path)
+    if nat is None:
+        raise ValueError(
+            f"native CSV parser rejected {path} which python parsed "
+            f"({py.shape[0]}x{py.shape[1]}) — parser divergence")
     if nat.shape != py.shape:
         raise ValueError(
             f"native/python shape mismatch on {path}: "
@@ -313,7 +317,13 @@ def score_checkpoint(root, split, args, num_pts):
     from planar_optical_flow_tpu.eval import (DetectionEvalFrames,
                                               evaluate_detection_ap_batched)
 
-    ds = DrowDetectionDataset(root, "val" if split != "val" else split,
+    from planar_optical_flow_tpu.data import drow_io
+
+    # score on val when the corpus has one; otherwise the split that
+    # validated (a train-only corpus is still scoreable)
+    eval_split = ("val" if drow_io.list_sequences(root, "val")
+                  else split)
+    ds = DrowDetectionDataset(root, eval_split,
                               num_scans=1, pedestrian_only=True)
     frames = DetectionEvalFrames.from_dataset(ds)
     if args.max_frames and len(frames) > args.max_frames:

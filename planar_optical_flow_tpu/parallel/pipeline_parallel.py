@@ -257,11 +257,21 @@ def pipeline_apply(stage_fns, stage_params, x, mesh, axis: str = "pipe",
         ys = lax.psum(ys, axis)
         # slot i of the final state is authoritative only on device i
         # (other devices never ran stage i); select-and-psum replicates
-        # over pipe, then pmean over data averages the shards' chains
+        # over pipe, then pmean over data averages the shards' chains.
+        # Non-floating leaves (counters, flags) cannot be meaningfully
+        # averaged — and pmean would silently promote them to float —
+        # so they replicate data-shard 0's value instead (every shard
+        # runs the same schedule, so deterministic leaves agree anyway)
         def finalize(l, i):
             l = lax.psum(jnp.where(d == i, l, jnp.zeros_like(l)), axis)
             if n_data > 1:
-                l = lax.pmean(l, data_axis)
+                if jnp.issubdtype(l.dtype, jnp.floating):
+                    l = lax.pmean(l, data_axis)
+                else:
+                    dd = lax.axis_index(data_axis)
+                    l = lax.psum(
+                        jnp.where(dd == 0, l, jnp.zeros_like(l)),
+                        data_axis)
             return l
 
         states_out = tuple(
@@ -381,39 +391,60 @@ def drow_pipeline_train_stages(model, dropout_rng=None):
             "requires dropout_rng"
         )
 
-    def _rngs(i):
+    def _shard_index():
+        # distinct dropout noise per data shard under dp x pp; on a
+        # pure-pipe mesh the data axis is simply not bound
+        try:
+            return lax.axis_index("data")
+        except Exception:  # noqa: BLE001 — unbound axis name at trace
+            return jnp.int32(0)
+
+    def _rngs(i, t):
         if dropout_rng is None:
             return {}
-        return {"rngs": {"dropout": jax.random.fold_in(dropout_rng, i)}}
+        # fold in stage, MICROBATCH TICK and data shard: a stage-only
+        # fold would hand every microbatch (and every shard) the same
+        # bernoulli mask — flax Dropout derives the mask purely from
+        # the key, so the noise must be keyed per (stage, tick, shard)
+        key = jax.random.fold_in(dropout_rng, i)
+        key = jax.random.fold_in(key, t)
+        return {"rngs": {"dropout": jax.random.fold_in(
+            key, _shard_index())}}
 
-    def stage_backbone(p, stats, x):
+    # stage state = (BN stats subtree, microbatch tick counter): the
+    # counter rides the same threaded state that makes the EMA chain
+    # sequential, giving each microbatch its own dropout key
+    def stage_backbone(p, state, x):
+        stats, t = state
         out, upd = model.apply(
             {"params": p, "batch_stats": {"backbone": stats}},
             x, True,
             method=lambda mdl, xx, tr: jnp.sum(
                 mdl.encode_cutouts(xx, train=tr), axis=2
             ),
-            mutable=["batch_stats"], **_rngs(0),
+            mutable=["batch_stats"], **_rngs(0, t),
         )
-        return out, upd["batch_stats"]["backbone"]
+        return out, (upd["batch_stats"]["backbone"], t + 1)
 
-    def stage_head(p, stats, fused):
+    def stage_head(p, state, fused):
+        stats, t = state
         out, upd = model.apply(
             {"params": p, "batch_stats": {"head": stats}},
             fused, True,
             method=lambda mdl, ff, tr: mdl.fused_head(ff, train=tr),
-            mutable=["batch_stats"], **_rngs(1),
+            mutable=["batch_stats"], **_rngs(1, t),
         )
-        return out, upd["batch_stats"]["head"]
+        return out, (upd["batch_stats"]["head"], t + 1)
 
     def split_params(params):
         return (params, params)  # each stage reads only its submodule
 
     def split_stats(batch_stats):
-        return (batch_stats["backbone"], batch_stats["head"])
+        t0 = jnp.int32(0)
+        return ((batch_stats["backbone"], t0), (batch_stats["head"], t0))
 
     def combine(states):
-        return {"backbone": states[0], "head": states[1]}
+        return {"backbone": states[0][0], "head": states[1][0]}
 
     return (stage_backbone, stage_head), split_params, split_stats, combine
 

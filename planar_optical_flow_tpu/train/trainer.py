@@ -62,8 +62,10 @@ class Trainer:
         self._state_sharding_fn = state_sharding_fn
         self._state_shardings = None
         self._grad_norm_clip = cfg.get("grad_norm_clip", 0.0)
-        # microbatch count for a pipe-axis mesh (defaults to 2x the stage
-        # count inside pipeline_apply when None -> mesh axis size)
+        # microbatch count for a pipe-axis mesh; None defaults to the
+        # pipe-axis size inside pipeline_apply (so the default batch
+        # requirement is batch % pipe == 0); more microbatches shrink
+        # the (n_stages - 1) / (M + n_stages - 1) bubble
         self._pp_microbatches = cfg.get("pp_microbatches")
         self._ckpt_interval = cfg.get("ckpt_interval", 5)
         self._eval_interval = cfg.get("eval_interval", 5)
@@ -221,11 +223,7 @@ class Trainer:
         if self._mesh is not None:
             if "data" not in self._mesh.axis_names:
                 # pure-pipe mesh: replicate (see _build_steps)
-                from planar_optical_flow_tpu.parallel.mesh import (
-                    replicated_sharding as _rep,
-                )
-
-                sh = _rep(self._mesh)
+                sh = replicated_sharding(self._mesh)
                 return jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, sh), batch
                 )

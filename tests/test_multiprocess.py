@@ -57,7 +57,9 @@ def test_two_process_training_matches_single_process(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
 
-    port = 29741
+    # derandomized per test process: a fixed port collides with a
+    # concurrent suite run (or a leftover coordinator) on the same box
+    port = 29850 + os.getpid() % 97
     p0 = _run_worker([0, 2, port, root], env)
     p1 = _run_worker([1, 2, port, root], env)
     try:

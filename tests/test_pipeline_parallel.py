@@ -544,3 +544,73 @@ def test_detection_loss_pipelined_dp_pp_matches_sequential(rng):
                          jax.tree_util.tree_leaves(grads_seq)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=3e-4, atol=2e-5)
+
+
+def test_drow_train_stages_dropout_varies_per_microbatch(rng):
+    """Review fix: the dropout key must fold in the microbatch tick —
+    a stage-only fold hands every microbatch the same bernoulli mask.
+    Identical rows fed to two microbatches must come out DIFFERENT
+    (independent masks), and the whole forward must be deterministic."""
+    from planar_optical_flow_tpu.models import Drow
+    from planar_optical_flow_tpu.parallel.pipeline_parallel import (
+        drow_pipeline_train_stages,
+    )
+
+    model = Drow(pedestrian_only=True, dropout=0.5)
+    row = rng.uniform(-1, 1, (2, 6, 2, 8)).astype(np.float32)
+    x = jnp.asarray(np.concatenate([row, row]))  # mb0 rows == mb1 rows
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    mesh = make_mesh_from_config({"pipe": 2})
+    fns, split_p, split_s, combine = drow_pipeline_train_stages(
+        model, dropout_rng=jax.random.PRNGKey(3))
+
+    def run():
+        (cls, reg), states = pipeline_apply(
+            fns, split_p(variables["params"]), x, mesh,
+            n_microbatches=2,
+            stage_state=split_s(variables["batch_stats"]))
+        return cls, states
+
+    cls1, states1 = run()
+    cls2, _ = run()
+    # deterministic across calls
+    np.testing.assert_array_equal(np.asarray(cls1), np.asarray(cls2))
+    # different masks across microbatches (same input rows)
+    a, b = np.asarray(cls1[:2]), np.asarray(cls1[2:])
+    assert not np.allclose(a, b), "identical dropout mask reused"
+    # the tick counter advanced once per microbatch and stayed integer
+    assert int(states1[0][1]) == 2 and int(states1[1][1]) == 2
+    assert np.asarray(states1[0][1]).dtype == np.int32
+
+
+def test_pipeline_int_state_survives_dp_pp(rng):
+    """Review fix: non-floating state leaves must keep their dtype under
+    dp x pp (pmean would silently promote to f32 and break the next
+    step's carry); they replicate shard 0's value instead."""
+    mesh = make_mesh_from_config({"data": 2, "pipe": 2})
+
+    def s0(p, s, x):
+        return x * p, (s[0] + 1, 0.5 * s[1] + jnp.sum(x))
+
+    def s1(p, s, x):
+        return x + p, (s[0] + 1, 0.5 * s[1] + jnp.sum(x))
+
+    params = [jnp.asarray(2.0), jnp.asarray(1.0)]
+    state0 = [(jnp.int32(0), jnp.asarray(0.0)),
+              (jnp.int32(0), jnp.asarray(0.0))]
+    x = jnp.asarray(rng.normal(0, 1, (8, 3)), jnp.float32)
+    out, states = pipeline_apply([s0, s1], params, x, mesh,
+                                 n_microbatches=2, stage_state=state0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2 + 1,
+                               rtol=1e-6)
+    for i in range(2):
+        cnt = states[i][0]
+        assert cnt.dtype == jnp.int32, cnt.dtype
+        assert int(cnt) == 2
+        # the float leaf pmean-s over shards and stays f32
+        assert states[i][1].dtype == jnp.float32
+    # re-feeding the returned state must trace cleanly (dtype stability)
+    out2, states2 = pipeline_apply([s0, s1], params, x, mesh,
+                                   n_microbatches=2, stage_state=states)
+    assert int(states2[0][0]) == 4
