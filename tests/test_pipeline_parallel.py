@@ -614,3 +614,49 @@ def test_pipeline_int_state_survives_dp_pp(rng):
     out2, states2 = pipeline_apply([s0, s1], params, x, mesh,
                                    n_microbatches=2, stage_state=states)
     assert int(states2[0][0]) == 4
+
+
+def test_loss_pipelined_guards(rng):
+    """Non-stageable models and pipe-less tasks fail loudly: SpatialDROW
+    (gate between the stages) raises from loss_pipelined, and a Trainer
+    given a pipe mesh with a task lacking loss_pipelined raises at step
+    build instead of silently destaging."""
+    from planar_optical_flow_tpu.models import SpatialDrow
+    from planar_optical_flow_tpu.train import (Trainer, tasks,
+                                               create_train_state,
+                                               make_optimizer)
+    from planar_optical_flow_tpu.utils import RunLogger
+
+    mesh = make_mesh_from_config({"pipe": 2})
+    task = tasks.DetectionTask(
+        cutout_kwargs=dict(fixed=True, centered=True, window_width=1.0,
+                           window_depth=0.5, num_cutout_pts=8,
+                           padding_val=29.99), num_pts=48)
+    model = SpatialDrow(window_size=5, pedestrian_only=True)
+    x = jnp.zeros((4, 48, 3, 8))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    batch = {
+        "scans": rng.uniform(0.5, 20.0, (4, 3, 48)).astype(np.float32),
+        "target_cls": rng.integers(0, 2, (4, 48)).astype(np.int32),
+        "target_reg": rng.normal(size=(4, 48, 2)).astype(np.float32),
+    }
+    with pytest.raises(ValueError, match="plain DROW"):
+        task.loss_pipelined(model.apply, variables, batch, True, None,
+                            mesh=mesh, n_microbatches=2)
+
+    # a task without loss_pipelined on a pipe mesh -> explicit error
+    class NoPipeline:
+        def loss(self, *a, **k):
+            raise AssertionError("unreachable")
+
+    tx = make_optimizer({"scheduler_kwargs": {}}, steps_per_epoch=1)
+    state = create_train_state(model, (x,), tx,
+                               init_kwargs={"train": False})
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tr = Trainer(RunLogger({"log_dir": td, "tag": "g"}),
+                     {"epoch": 1}, NoPipeline(), mesh=mesh,
+                     install_signal_handlers=False)
+        with pytest.raises(ValueError, match="no loss_pipelined"):
+            tr._build_steps(state)
