@@ -157,6 +157,15 @@ def main(argv=None):
         metrics = pipeline.evaluate(tb_prefix=args.split.upper())
         print({k: round(v, 6) for k, v in metrics.items()})
 
+    if cfg["model"]["type"] == "box_reg" and eval_set is not None:
+        # floor the regressor the way the reference does
+        # (eval_utils.py:561-639): the dataset-mean box at the detection
+        # center — the model's iou/loss_* above must beat these
+        from planar_optical_flow_tpu.eval.baseline import mean_box_baseline
+
+        base = mean_box_baseline(eval_set)
+        print({("baseline_" + k): round(v, 6) for k, v in base.items()})
+
     # one resolution shared by --ap and --serve-flow (avoids resolving —
     # and printing — the engine choice twice)
     engine = calib = None

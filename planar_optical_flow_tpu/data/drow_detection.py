@@ -141,10 +141,18 @@ class DrowDetectionDataset:
         for stem in stems:
             scan_ids, scan_t, scans = drow_io.load_scan_file(stem)
             if phi is None:
-                # SICK FOV spread over however many beams the corpus has
-                # (450 for DROWv2; synthetic/test corpora may differ)
+                # fixed SICK 0.5 deg/beam increment over however many
+                # beams the corpus has (450 -> 225 deg FOV for DROWv2;
+                # synthetic/test corpora with fewer beams get a
+                # proportionally narrower FOV, NOT a rescaled increment)
                 phi = get_laser_phi(num_pts=scans.shape[-1])
                 self.phi_grid = phi.astype(np.float32)
+            elif scans.shape[-1] != len(phi):
+                raise ValueError(
+                    f"{stem}: {scans.shape[-1]} beams but the first "
+                    f"sequence in this split has {len(phi)} — mixed beam "
+                    "counts in one corpus are not supported"
+                )
             _, odom_t, odom = drow_io.load_odometry_file(stem)
             ann_ids, wcs, was, wps = drow_io.load_detection_file(stem)
 

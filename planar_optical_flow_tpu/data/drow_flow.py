@@ -42,10 +42,18 @@ class FlowScanPairDataset:
         for stem in stems:
             _, scan_t, scans = drow_io.load_scan_file(stem)
             if phi is None:
-                # SICK FOV spread over however many beams the corpus has
-                # (450 for DROWv2; synthetic/test corpora may differ)
+                # fixed SICK 0.5 deg/beam increment over however many
+                # beams the corpus has (450 -> 225 deg FOV for DROWv2;
+                # synthetic/test corpora with fewer beams get a
+                # proportionally narrower FOV, NOT a rescaled increment)
                 phi = get_laser_phi(num_pts=scans.shape[-1])
                 self.phi_grid = phi.astype(np.float32)
+            elif scans.shape[-1] != len(phi):
+                raise ValueError(
+                    f"{stem}: {scans.shape[-1]} beams but the first "
+                    f"sequence in this split has {len(phi)} — mixed beam "
+                    "counts in one corpus are not supported"
+                )
             dts, dposes = drow_io.load_diff_odometry_file(stem)
             flows = drow_io.load_flow_file(stem, scans.shape[-1])
             _, odom_t, odom_abs = drow_io.load_odometry_file(stem)

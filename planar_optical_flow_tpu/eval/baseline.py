@@ -36,6 +36,7 @@ def mean_box_baseline(dataset, is_3d: bool | None = None) -> dict:
         iou = np.asarray(ops.rotated_iou_3d_paired(preds, targets))
         dim_err = np.abs(preds[:, 3:6] - targets[:, 3:6]).sum(axis=1)
         ori_err = np.abs(preds[:, 6] - targets[:, 6])
+        z_err = np.abs(preds[:, 2] - targets[:, 2])
     else:
         dims_mean = targets[:, 2:4].mean(axis=0)
         preds = np.column_stack(
@@ -49,8 +50,12 @@ def mean_box_baseline(dataset, is_3d: bool | None = None) -> dict:
         dim_err = np.abs(preds[:, 2:4] - targets[:, 2:4]).sum(axis=1)
         ori_err = np.abs(preds[:, 4] - targets[:, 4])
 
-    return {
+    out = {
         "iou": float(iou.mean()),
         "loss_dim": float(dim_err.mean()),
         "loss_ori": float(ori_err.mean()),
     }
+    if is_3d:
+        # mean-z predictor error, comparable to the model's loss_z
+        out["loss_z"] = float(z_err.mean())
+    return out

@@ -46,6 +46,29 @@ _BOOT = "boot.bin"
 _STEP = "step.bin"
 _MODEL_META = "model.json"
 
+# On-disk artifact layout version. Bump when the meta keys / program-file
+# naming / call contract change incompatibly; loaders refuse artifacts
+# stamped with a NEWER (or unparseable) schema with a readable error
+# instead of a downstream shape/deserialize failure. Artifacts written
+# before versioning carry no stamp and are read as version 1 (their
+# layout is version 1's).
+SCHEMA_VERSION = 1
+
+
+def _check_schema(path: str, meta: dict):
+    ver = meta.get("schema_version", 1)
+    if not isinstance(ver, int) or isinstance(ver, bool) or ver < 1:
+        raise ValueError(
+            f"artifact {path} has an unreadable schema_version {ver!r} "
+            "(expected a positive integer) — the meta file is corrupt "
+            "or hand-edited; re-export the artifact")
+    if ver > SCHEMA_VERSION:
+        raise ValueError(
+            f"artifact {path} uses schema version {ver} but this "
+            f"runtime understands up to {SCHEMA_VERSION} — upgrade "
+            "planar_optical_flow_tpu on the serving host, or re-export "
+            "the artifact with this version")
+
 
 def _read_meta(out_dir: str, meta_name: str):
     try:
@@ -195,6 +218,7 @@ def export_serving_engine(out_dir: str, step, example_scan,
         "num_pts": int(scan_specs[0].shape[1]),
         "platforms": platforms,
         "jax_version": jax.__version__,
+        "schema_version": SCHEMA_VERSION,
     })
     _write_meta_atomic(os.path.join(out_dir, _META), info)
     _prune_programs(out_dir, ("boot", "step"),
@@ -273,6 +297,7 @@ def export_model(out_dir: str, fn, example_inputs, meta: dict | None = None,
         "output_shapes": output_shapes,
         "platforms": platforms,
         "jax_version": jax.__version__,
+        "schema_version": SCHEMA_VERSION,
     })
     _write_meta_atomic(os.path.join(out_dir, _MODEL_META), info)
     _prune_programs(out_dir, ("model_b",), set(files.values()))
@@ -338,6 +363,7 @@ def load_model(path: str) -> ModelEngine:
 
     with open(os.path.join(path, _MODEL_META)) as f:
         meta = json.load(f)
+    _check_schema(path, meta)
     _check_platform(path, meta)
     files = meta.get("files") or {}
     programs = {}
@@ -390,6 +416,7 @@ def load_serving_engine(path: str) -> ServingEngine:
 
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
+    _check_schema(path, meta)
     _check_platform(path, meta)
 
     def _read(name):

@@ -444,6 +444,7 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                        calib_percentile: float | None = None,
                        calib_steps: int = 2,
                        output_fields=None,
+                       sanitize_inputs: bool = True,
                        interpret: bool = False):
     """Flat-layout fused serving step (fastest path, see BASELINE.md).
 
@@ -476,6 +477,14 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     only representative after a few steps). Both only matter when scales
     are computed here (``calib_scans``); a restored ``calib`` carries its
     scales verbatim.
+
+    ``sanitize_inputs`` (default on): non-finite ranges (NaN/Inf from a
+    faulty sensor) are mapped to the cutout padding value and every
+    range is clipped to ``[0, padding_val]`` before entering the int8
+    pipeline — garbage in, bounded garbage out. One VPU ``where``+
+    ``clip`` fused into the cutout producer (measured ~free; see
+    docs/SERVING.md). The reference got this implicitly from its numpy
+    preprocessing (``src/utils/utils.py:259-334`` clipping).
 
     Returns ``step(carry, scan) -> (carry', outputs)``; carry is
     ``{"template": (N, D) bf16, "z": (N, 128)}``.
@@ -821,7 +830,17 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
             interpret=interpret,
         )
 
+    _san_max = float(cutout_kwargs.get("padding_val", 29.99))
+
     def step(carry, scan):
+        if sanitize_inputs:
+            # hostile-input guard: NaN/Inf -> padding (no echo), ranges
+            # clipped to the sensor's [0, padding_val] envelope. Inside
+            # the jitted step, so shard_map / lax.scan replay / AOT
+            # artifacts all inherit it.
+            scan = jnp.clip(
+                jnp.where(jnp.isfinite(scan), scan, _san_max),
+                0.0, _san_max)
         b = scan.shape[0]
         if cell and carry is not None:
             # whole cell (backbone + gate + head) in ONE pallas program;
@@ -1041,7 +1060,8 @@ def make_serve_sequence_processor(model, variables, cutout_kwargs,
 
 def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
                      nms_min_dist: float = 0.5, with_nms: bool = True,
-                     donate_template: bool = True, compute_dtype=None):
+                     donate_template: bool = True, compute_dtype=None,
+                     sanitize_inputs: bool = True):
     """Build the jitted per-scan step.
 
     Returns ``step(variables, template, scan) -> (new_template, outputs)``
@@ -1060,8 +1080,14 @@ def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
     phi = get_laser_phi(num_pts=num_pts)
     phi_j = jnp.asarray(phi, dtype=jnp.float32)
     is_flow = isinstance(model, FlowDrow)
+    _san_max = float(cutout_kwargs.get("padding_val", 29.99))
 
     def step(variables, template, scan):
+        if sanitize_inputs:
+            # hostile-input guard — same policy as make_serve_step_v3
+            scan = jnp.clip(
+                jnp.where(jnp.isfinite(scan), scan, _san_max),
+                0.0, _san_max)
         cutouts = _encode_single(scan, phi, cutout_kwargs)
         if compute_dtype is not None:
             cutouts = cutouts.astype(compute_dtype)
@@ -1185,6 +1211,25 @@ class StreamingRunner:
                                if output_fields is not None else None)
         self.calibration = None
         if engine == "module":
+            if self._output_fields is not None:
+                # same construction-time validation as the v3/int8c
+                # engines (the per-step filter in _dispatch stays, but an
+                # unknown name must not surface mid-stream)
+                from planar_optical_flow_tpu.models.flow_drow import (
+                    FlowDrow,
+                )
+
+                is_flow = isinstance(model, FlowDrow)
+                known = (("pred_cls", "pred_reg")
+                         + (("pred_flow",) if is_flow else ())
+                         + (("det_xys", "det_cls", "det_keep",
+                             "instance_mask") if with_nms else ()))
+                bad = set(self._output_fields) - set(known)
+                if bad:
+                    raise ValueError(
+                        f"unknown output_fields {sorted(bad)}; this step "
+                        f"produces {list(known)} (is_flow={is_flow}, "
+                        f"with_nms={with_nms})")
             self._step = make_stream_step(
                 model, cutout_kwargs, num_pts, nms_min_dist, with_nms,
                 donate_template=False,

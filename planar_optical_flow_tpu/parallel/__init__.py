@@ -3,11 +3,13 @@
 from planar_optical_flow_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_mesh_from_config,
+    make_hybrid_mesh,
     default_partition_rule,
     state_shardings,
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    replicate_batch,
     initialize_distributed,
 )
 from planar_optical_flow_tpu.parallel.context_parallel import (  # noqa: F401

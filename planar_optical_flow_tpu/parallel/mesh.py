@@ -46,11 +46,62 @@ def make_mesh(axis_names=("data",), axis_sizes=None, devices=None) -> Mesh:
     return Mesh(arr, axis_names)
 
 
+def make_hybrid_mesh(dcn_size: int, ici_axes: dict, devices=None) -> Mesh:
+    """Hybrid ICI x DCN mesh (SURVEY §2.11 "mesh over ICI and DCN").
+
+    The ``dcn`` axis is the OUTERMOST (slowest-varying) axis and spans
+    slices — device groups connected only over the data-center network —
+    while the ``ici_axes`` (e.g. ``{"data": 4}`` or ``{"data": 2,
+    "model": 2}``) lay out WITHIN a slice, so collectives along any
+    non-dcn axis ride ICI. Gradient all-reduce over ``("dcn", "data")``
+    lowers to the hierarchical form (reduce within the slice first, the
+    small residual across DCN) — the partitioner picks this up from the
+    axis order; nothing else is needed.
+
+    Devices are ordered slice-major (``slice_index`` where the backend
+    reports one — real multi-slice TPU — else process, then id), and a
+    dcn group must contain whole processes (checked when
+    multi-process; on a single process the grouping is whatever the
+    virtual device order gives, which is what the CPU-mesh tests use).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    devices.sort(key=lambda d: (getattr(d, "slice_index", 0) or 0,
+                                d.process_index, d.id))
+    names = ("dcn",) + tuple(str(k) for k in ici_axes)
+    sizes = (int(dcn_size),) + tuple(int(v) for v in ici_axes.values())
+    total = int(np.prod(sizes))
+    if total > len(devices) or total < 1 or min(sizes) < 1:
+        raise ValueError(
+            f"mesh {dict(zip(names, sizes))} needs {total} devices, "
+            f"have {len(devices)}"
+        )
+    devices = devices[:total]
+    per = total // int(dcn_size)
+    if jax.process_count() > 1:
+        groups = [
+            {d.process_index for d in devices[i * per:(i + 1) * per]}
+            for i in range(int(dcn_size))
+        ]
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                if groups[i] & groups[j]:
+                    raise ValueError(
+                        f"dcn axis of {dcn_size} splits a process "
+                        f"across slices (groups {groups}) — dcn must "
+                        "divide along process/slice boundaries"
+                    )
+    arr = np.asarray(devices, dtype=object).reshape(sizes)
+    return Mesh(arr, names)
+
+
 def make_mesh_from_config(mesh_cfg, devices=None) -> Mesh:
     """Mesh from a config mapping, e.g. ``{"data": 4, "model": 2}``.
 
     A value of -1 (or "auto") on exactly one axis absorbs the remaining
-    devices. ``None``/empty -> 1-D all-``data`` mesh.
+    devices. ``None``/empty -> 1-D all-``data`` mesh. A ``dcn`` axis
+    (any position in the mapping) selects the hybrid ICI x DCN layout —
+    ``dcn`` outermost over slice-major-ordered devices, the other axes
+    within a slice (:func:`make_hybrid_mesh`).
     """
     devices = devices if devices is not None else jax.devices()
     if not mesh_cfg:
@@ -75,6 +126,10 @@ def make_mesh_from_config(mesh_cfg, devices=None) -> Mesh:
             f"mesh {dict(zip(names, sizes))} needs {total} devices, "
             f"have {len(devices)}"
         )
+    if "dcn" in names:
+        dcn = sizes[names.index("dcn")]
+        ici = {n: s for n, s in zip(names, sizes) if n != "dcn"}
+        return make_hybrid_mesh(dcn, ici, devices=devices)
     return make_mesh(tuple(names), tuple(sizes), devices=devices[:total])
 
 
@@ -126,12 +181,39 @@ def state_shardings(mesh: Mesh, state, rule=None):
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dimension over ``axis``."""
+    """Shard the leading (batch) dimension over ``axis``.
+
+    On a hybrid mesh the batch spans ``(dcn, axis)`` jointly (outer
+    slices each take a contiguous block; rows within a block spread over
+    the slice's ici axis) — the gradient psum over both axes then lowers
+    hierarchically."""
+    if "dcn" in mesh.axis_names:
+        axes = ("dcn",) + ((axis,) if axis in mesh.axis_names else ())
+        return NamedSharding(mesh, P(axes))
     return NamedSharding(mesh, P(axis))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _put_global(batch, sharding):
+    """Place a host batch pytree under ``sharding``; multi-host safe.
+
+    Under multi-host, plain ``device_put`` cannot build a global array
+    from per-process data — ``jax.make_array_from_process_local_data``
+    assembles it from what each process holds (its batch slice for a
+    sharded placement; the identical full batch for a replicated one).
+    """
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            batch,
+        )
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
@@ -142,13 +224,13 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     global array is assembled across processes; single-host this is a
     plain sharded device_put.
     """
-    sharding = batch_sharding(mesh, axis)
-    if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                sharding, np.asarray(x)),
-            batch,
-        )
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    return _put_global(batch, batch_sharding(mesh, axis))
+
+
+def replicate_batch(batch, mesh: Mesh):
+    """Place a numpy batch dict replicated over the mesh (pure-pipe
+    meshes: the batch stays whole and ``pipeline_apply``'s internal
+    shard_map distributes microbatches). Uses the same multi-host-safe
+    mechanism as :func:`shard_batch` — under multi-host every process
+    passes the identical full batch."""
+    return _put_global(batch, replicated_sharding(mesh))

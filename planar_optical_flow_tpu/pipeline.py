@@ -105,7 +105,11 @@ def normalize_config(cfg: dict) -> dict:
     return nested
 
 
-def _build_task(cfg: dict, model=None):
+def _build_task(cfg: dict, model=None, num_pts: int | None = None):
+    """``num_pts``: beam count of the corpus actually loaded (the
+    datasets infer it from the first sequence) — without it the
+    detection tasks' phi grid defaults to the DROW 450 and a
+    narrower/wider corpus crashes at trace time."""
     mtype = cfg["model"]["type"]
     ds = cfg["dataset"]
     if mtype in ("flow_unet", "prototype", "prototype_test"):
@@ -117,6 +121,8 @@ def _build_task(cfg: dict, model=None):
         focal_loss_gamma=cfg["model"].get("focal_loss_gamma", 0.0),
         pedestrian_only=cfg["model"].get("pedestrian_only", False),
     )
+    if num_pts is not None:
+        common["num_pts"] = int(num_pts)
     if mtype in ("fc1d", "fc1d_fea", "fc2d"):
         return tasks.DetectionTask(
             **common, encoding=mtype,
@@ -217,8 +223,12 @@ class Pipeline:
         pcfg = cfg["pipeline"]
         self.logger = RunLogger(pcfg["Logger"])
         self.model = get_model(cfg["model"])
-        self.task = _build_task(cfg, self.model)
         self.train_set, self.val_set = _build_datasets(cfg, synthetic_dir)
+        # beam count comes from the corpus (the datasets infer it from
+        # the first sequence); the task's phi grid must match it
+        num_pts = (len(self.train_set.phi_grid)
+                   if hasattr(self.train_set, "phi_grid") else None)
+        self.task = _build_task(cfg, self.model, num_pts=num_pts)
 
         bsz = cfg["dataloader"]["batch_size"]
         self.train_loader = BatchLoader(self.train_set, bsz, shuffle=True)
@@ -240,7 +250,8 @@ class Pipeline:
         )
 
         self.state = create_train_state(
-            self.model, _example_inputs(cfg, bsz), self.tx,
+            self.model,
+            _example_inputs(cfg, bsz, num_pts=num_pts or 450), self.tx,
             init_kwargs={"train": False},
         )
 
@@ -251,36 +262,90 @@ class Pipeline:
         if pretrained and cfg["model"]["type"] == "flow_drow":
             self.load_pretrained_detector(pretrained)
         # mesh knob: pipeline.mesh: {data: N, model: M} (-1/"auto" absorbs
-        # the remaining devices). Default: 1-D data-parallel over all
-        # devices. With a model axis > 1, the state is partitioned by the
-        # default Megatron-style rule (parallel.default_partition_rule).
+        # the remaining devices; dcn: K adds an outer slice axis — see
+        # parallel/mesh.py). Default: 1-D data-parallel over all devices.
+        # With a model axis > 1, the state is partitioned by the default
+        # Megatron-style rule (parallel.default_partition_rule).
+        #
+        # A mesh request is NEVER dropped silently: an unknown axis name is
+        # a config error, every fallback to single-device jit logs a
+        # warning naming the reason, and `pipeline.mesh: {strict: true}`
+        # turns fallbacks into errors (config contract analogue:
+        # reference src/pipeline/pipeline.py:6-36 builds exactly what the
+        # config names or crashes).
         mesh = None
         sharding_fn = None
         if use_mesh:
-            try:
-                from planar_optical_flow_tpu.parallel import (
-                    make_mesh_from_config, state_shardings,
-                )
+            from planar_optical_flow_tpu.parallel import (
+                make_mesh_from_config, state_shardings,
+            )
 
-                mesh = make_mesh_from_config(pcfg.get("mesh"))
+            mesh_cfg = pcfg.get("mesh")
+            strict = False
+            if mesh_cfg is not None and not isinstance(mesh_cfg, dict):
+                raise TypeError(
+                    f"pipeline.mesh must be a mapping of axis sizes, got "
+                    f"{type(mesh_cfg).__name__}: {mesh_cfg!r}"
+                )
+            if mesh_cfg:
+                mesh_cfg = dict(mesh_cfg)
+                strict = bool(mesh_cfg.pop("strict", False))
+                unknown = set(mesh_cfg) - {"dcn", "data", "model", "pipe"}
+                if unknown:
+                    raise ValueError(
+                        f"unknown mesh axis {sorted(unknown)} in "
+                        "pipeline.mesh — valid axes: dcn, data, model, "
+                        "pipe (plus strict: true/false)"
+                    )
+
+            def _fallback(reason):
+                if strict:
+                    raise ValueError(
+                        f"pipeline.mesh {mesh_cfg} unusable: {reason} "
+                        "(strict: true — remove it to allow the "
+                        "single-device fallback)"
+                    )
+                if mesh_cfg:
+                    self.logger.warning(
+                        f"pipeline.mesh {mesh_cfg} dropped — {reason}; "
+                        "falling back to single-device jit"
+                    )
+                return None
+
+            try:
+                mesh = make_mesh_from_config(mesh_cfg)
+            except ValueError as e:
+                mesh = _fallback(f"mesh construction failed: {e}")
+            if mesh is not None:
                 shape = dict(mesh.shape)
                 if shape.get("pipe", 1) > 1:
                     # pipe axis: batch must split into the microbatches
                     # (default = pipe size) and each microbatch's rows
-                    # over a data axis, if any; Trainer validates the rest
+                    # over a data axis, if any; Trainer validates the
+                    # stage count against the task
                     micro = int(pcfg["Trainer"].get("pp_microbatches")
                                 or shape["pipe"])
                     rows = shape.get("data", 1) * max(micro, 1)
                     if bsz % max(rows, 1) != 0:
-                        mesh = None  # fall back to single-device jit
+                        mesh = _fallback(
+                            f"batch_size {bsz} does not divide into "
+                            f"data={shape.get('data', 1)} x "
+                            f"{micro} microbatches"
+                        )
                 else:
-                    data_size = shape.get("data", mesh.devices.size)
+                    if "data" in shape or "dcn" in shape:
+                        # batch rows shard over (dcn, data) jointly
+                        data_size = (shape.get("dcn", 1)
+                                     * shape.get("data", 1))
+                    else:
+                        data_size = mesh.devices.size
                     if bsz % max(data_size, 1) != 0:
-                        mesh = None  # fall back to single-device jit
+                        mesh = _fallback(
+                            f"batch_size {bsz} not divisible by the "
+                            f"data-parallel extent {data_size}"
+                        )
                     elif shape.get("model", 1) > 1:
                         sharding_fn = state_shardings
-            except Exception:
-                mesh = None
         self.trainer = Trainer(
             self.logger, pcfg["Trainer"], self.task, lr_schedule=schedule,
             mesh=mesh, state_sharding_fn=sharding_fn,

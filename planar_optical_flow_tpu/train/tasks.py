@@ -96,6 +96,11 @@ class DetectionTask:
     (an explicit "pallas" is still honored).
     """
 
+    # GPipe stage count of loss_pipelined's staged forward (backbone |
+    # head, drow_pipeline_train_stages); the Trainer checks the mesh's
+    # pipe axis against this before building steps
+    pp_num_stages = 2
+
     cutout_kwargs: dict = field(default_factory=dict)
     focal_loss_gamma: float = 0.0
     pedestrian_only: bool = False

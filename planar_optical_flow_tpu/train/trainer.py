@@ -144,6 +144,14 @@ class Trainer:
                     f"{type(task).__name__} has no loss_pipelined — use a "
                     "data/model mesh for this task"
                 )
+            n_stages = getattr(task, "pp_num_stages", None)
+            if n_stages is not None and pipe_n != n_stages:
+                raise ValueError(
+                    f"mesh pipe axis is {pipe_n} but "
+                    f"{type(task).__name__} stages its forward into "
+                    f"{n_stages} pipeline stages — set pipeline.mesh: "
+                    f"{{pipe: {n_stages}}}"
+                )
             # a data axis composes: pipeline_apply shards every
             # microbatch's rows over it (dp x pp; per-shard ghost-BN
             # chains pmean-ed — see pipeline_parallel.py)
@@ -198,9 +206,11 @@ class Trainer:
         if self._mesh is not None:
             rep = replicated_sharding(self._mesh)
             # a pure-pipe mesh has no data axis: the batch is replicated
-            # and pipeline_apply's internal shard_map distributes stages
+            # and pipeline_apply's internal shard_map distributes stages.
+            # batch_sharding spans (dcn, data) on a hybrid mesh.
+            names = self._mesh.axis_names
             bs = (batch_sharding(self._mesh)
-                  if "data" in self._mesh.axis_names else rep)
+                  if ("data" in names or "dcn" in names) else rep)
             st_sh = (
                 self._state_sharding_fn(self._mesh, state)
                 if self._state_sharding_fn is not None else rep
@@ -221,12 +231,15 @@ class Trainer:
 
     def _place(self, batch):
         if self._mesh is not None:
-            if "data" not in self._mesh.axis_names:
-                # pure-pipe mesh: replicate (see _build_steps)
-                sh = replicated_sharding(self._mesh)
-                return jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, sh), batch
+            names = self._mesh.axis_names
+            if "data" not in names and "dcn" not in names:
+                # pure-pipe mesh: replicate (see _build_steps) — via the
+                # same multi-host-safe placement as shard_batch
+                from planar_optical_flow_tpu.parallel import (
+                    replicate_batch,
                 )
+
+                return replicate_batch(batch, self._mesh)
             return shard_batch(batch, self._mesh)
         return batch
 

@@ -9,7 +9,12 @@ batch slicing, ``Trainer`` with a mesh, ``shard_batch`` global-array
 assembly — and prints the per-step loss series as JSON (process 0).
 
 Invoked by ``tests/test_multiprocess.py``; runnable standalone:
-``python tests/_jaxdist_worker.py <pid> <nproc> <port> <data_root>``.
+``python tests/_jaxdist_worker.py <pid> <nproc> <port> <data_root>
+[devices_per_process] [mesh_kind]`` — ``devices_per_process`` (default
+1) gives every process that many virtual CPU devices, and ``mesh_kind``
+"hybrid" builds the ICI x DCN mesh ``{dcn: nproc, data:
+devices_per_process}`` (dp across the process boundary = DCN, dp within
+each process's devices = ICI) instead of the flat all-``data`` mesh.
 """
 
 import json
@@ -20,20 +25,23 @@ import sys
 def main():
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, root = sys.argv[3], sys.argv[4]
+    devper = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    mesh_kind = sys.argv[6] if len(sys.argv) > 6 else "flat"
 
     if pid < 0:
-        # single-process comparator: same 2-device data-parallel topology,
-        # no coordination service (pid sentinel -1)
+        # single-process comparator: same global device count and
+        # data-parallel extent, no coordination service (pid sentinel -1)
         os.environ["XLA_FLAGS"] = (
-            f"--xla_force_host_platform_device_count={nproc}")
+            f"--xla_force_host_platform_device_count={nproc * devper}")
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        print("LOSSES " + json.dumps(train(root, 0, 1, log_tag="single")),
-              flush=True)
+        print("LOSSES " + json.dumps(
+            train(root, 0, 1, log_tag="single")), flush=True)
         return
 
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devper}")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -43,14 +51,15 @@ def main():
     initialize_distributed(coordinator=f"127.0.0.1:{port}",
                            num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc, jax.process_count()
-    assert len(jax.devices()) == nproc and len(jax.local_devices()) == 1
+    assert len(jax.devices()) == nproc * devper
+    assert len(jax.local_devices()) == devper
 
-    losses = train(root, pid, nproc)
+    losses = train(root, pid, nproc, mesh_kind=mesh_kind)
     if pid == 0:
         print("LOSSES " + json.dumps(losses), flush=True)
 
 
-def train(root, pid, nproc, log_tag=None):
+def train(root, pid, nproc, log_tag=None, mesh_kind="flat"):
     """One epoch of mesh-sharded flow U-Net training on the synthetic
     split under ``root``; returns the TRAIN_loss series. Shared with the
     single-process comparison run (nproc=1, full batches)."""
@@ -61,7 +70,8 @@ def train(root, pid, nproc, log_tag=None):
     from planar_optical_flow_tpu.models import get_model
     from planar_optical_flow_tpu.train import (Trainer, create_train_state,
                                                make_optimizer, tasks)
-    from planar_optical_flow_tpu.parallel import make_mesh
+    from planar_optical_flow_tpu.parallel import (make_mesh,
+                                                  make_mesh_from_config)
     from planar_optical_flow_tpu.utils import RunLogger
 
     ds = FlowScanPairDataset(root, "train")
@@ -93,7 +103,10 @@ def train(root, pid, nproc, log_tag=None):
         logger,
         {"epoch": 1, "ckpt_interval": 0, "eval_interval": 0,
          "grad_norm_clip": 1.0, "log_norms": False},
-        tasks.FlowUNetTask(), mesh=make_mesh(),
+        tasks.FlowUNetTask(),
+        mesh=(make_mesh_from_config(
+            {"dcn": nproc, "data": len(jax.local_devices())})
+            if mesh_kind == "hybrid" else make_mesh()),
         install_signal_handlers=False,
     )
     state, rc = trainer.train(state, loader)

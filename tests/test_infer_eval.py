@@ -344,3 +344,53 @@ def test_evaluate_flow_serving_with_synthetic(tmp_path, rng):
     with pytest.raises(ValueError, match="frames"):
         evaluate_flow_serving(model, variables, CUTOUT_KW, ds,
                               engine="module", batch_streams=1024)
+
+
+def test_evaluate_cli_box_reg_prints_baseline(tmp_path, capsys):
+    """bin/evaluate.py on a box_reg config prints the mean-box baseline
+    (eval/baseline.py) beside the model's IoU/z/dim/ori metrics — the
+    reference floors its regressor the same way
+    (src/utils/eval_utils.py:561-639)."""
+    import ast
+
+    import yaml
+
+    import bin.evaluate as evaluate_cli
+
+    cfg = {
+        "dataset": {
+            "data_dir": "unused-replaced-by-synthetic",
+            "radius_segment": 0.7, "perturb": 0.0, "is_3d": True,
+            "min_segment_size": 5, "input_size": 32,
+            "augmentation_kwargs": {"use_data_augmentation": False},
+        },
+        "dataloader": {"batch_size": 2, "num_workers": 0},
+        "model": {"type": "box_reg", "input_dim": 4, "target_dim": 5,
+                  "dropout": 0.0},
+        "pipeline": {
+            "Trainer": {"epoch": 1, "ckpt_interval": 5,
+                        "eval_interval": 5, "grad_norm_clip": 0.0},
+            "Optim": {"scheduler_kwargs": {"epoch0": 0, "lr0": 1e-3,
+                                           "epoch1": 1, "lr1": 1e-6}},
+            "Logger": {"log_dir": str(tmp_path / "logs"),
+                       "tag": "boxreg", "backup_list": []},
+        },
+    }
+    cfg_path = tmp_path / "box_reg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    rc = evaluate_cli.main([
+        "--cfg", str(cfg_path), "--synthetic", str(tmp_path / "jrdb"),
+        "--cpu",
+    ])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    printed = {}
+    for ln in lines:
+        printed.update(ast.literal_eval(ln))
+    # model metrics and the baseline floor side by side
+    for k in ("iou", "loss_z", "loss_dim", "loss_ori"):
+        assert k in printed, f"model metric {k} missing"
+        assert f"baseline_{k}" in printed, f"baseline_{k} missing"
+    assert 0.0 <= printed["baseline_iou"] <= 1.0

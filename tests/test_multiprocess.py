@@ -93,3 +93,54 @@ def test_two_process_training_matches_single_process(tmp_path):
                                rtol=1e-3, atol=1e-6)
     # the run actually trained (not a frozen step repeated)
     assert dist_losses[-1] < dist_losses[0]
+
+
+@pytest.mark.slow
+def test_hybrid_dcn_mesh_two_process_matches_flat(tmp_path):
+    """ICI x DCN composition (round-4 verdict item 4): 2 processes x 4
+    devices each on the hybrid ``{dcn: 2, data: 4}`` mesh — dp across
+    the process boundary (DCN) composed with dp within each process's
+    devices (ICI) — must match the single-process flat 8-device mesh
+    loss for loss. Same global batch, same seeds; only the collective
+    topology differs (hierarchical psum over (dcn, data) vs flat psum
+    over data)."""
+    from planar_optical_flow_tpu.data import write_synthetic_drow_split
+    from planar_optical_flow_tpu.data.prepare import prepare_split
+
+    root = str(tmp_path / "data")
+    write_synthetic_drow_split(root, "train", num_sequences=2,
+                               num_frames=40)
+    prepare_split(root, "train")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+
+    port = 29750 + os.getpid() % 97
+    p0 = _run_worker([0, 2, port, root, 4, "hybrid"], env)
+    p1 = _run_worker([1, 2, port, root, 4, "hybrid"], env)
+    try:
+        dist_losses = _losses(p0)
+        p1.communicate(timeout=60)
+        assert p1.returncode == 0
+    finally:
+        for p in (p0, p1):
+            if p.poll() is None:
+                p.kill()
+
+    single = _run_worker([-1, 2, port, root, 4], env)
+    try:
+        single_losses = _losses(single)
+    finally:
+        if single.poll() is None:
+            single.kill()
+
+    assert len(dist_losses) == len(single_losses) > 0
+    np.testing.assert_allclose(dist_losses[0], single_losses[0],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dist_losses),
+                               np.asarray(single_losses),
+                               rtol=1e-3, atol=1e-6)
+    assert dist_losses[-1] < dist_losses[0]

@@ -836,3 +836,54 @@ def test_export_cli_lean_fields(tmp_path):
     for k in ol:
         np.testing.assert_array_equal(np.asarray(ol[k]),
                                       np.asarray(of[k]))
+
+
+def test_schema_version_stamped_and_checked(tmp_path):
+    """Artifacts stamp an explicit schema_version; loaders refuse a
+    future or unparseable schema with a readable error instead of a
+    downstream shape/deserialize failure (round-4 verdict item 7).
+    Unstamped (pre-versioning) artifacts read as version 1."""
+    import json
+    import os
+
+    from planar_optical_flow_tpu.infer import (export_serving_engine,
+                                               load_serving_engine)
+    from planar_optical_flow_tpu.infer.export import SCHEMA_VERSION
+
+    num_pts, batch = 64, 4
+    step, _ = _tiny_engine(num_pts, batch)
+    scan_spec = jax.ShapeDtypeStruct((batch, num_pts), np.float32)
+    out_dir = export_serving_engine(str(tmp_path / "engine"), step,
+                                    scan_spec)
+    meta_path = os.path.join(out_dir, "engine.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["schema_version"] == SCHEMA_VERSION
+
+    # future schema -> readable refusal naming both versions
+    doctored = dict(meta, schema_version=SCHEMA_VERSION + 1)
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
+    with pytest.raises(ValueError, match="schema version.*upgrade"):
+        load_serving_engine(out_dir)
+
+    # unparseable schema -> readable refusal
+    doctored = dict(meta, schema_version="two")
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
+    with pytest.raises(ValueError, match="unreadable schema_version"):
+        load_serving_engine(out_dir)
+
+    # pre-versioning artifact (no stamp) still loads
+    unstamped = {k: v for k, v in meta.items() if k != "schema_version"}
+    with open(meta_path, "w") as f:
+        json.dump(unstamped, f)
+    assert load_serving_engine(out_dir) is not None
+
+    # restored stamp loads and serves
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    engine = load_serving_engine(out_dir)
+    scan = jnp.zeros((batch, num_pts), jnp.float32)
+    carry, out = engine(None, scan)
+    assert carry is not None and out
