@@ -294,6 +294,7 @@ def test_serve_step_v3_config_guards():
                            interpret=True)
 
 
+@pytest.mark.slow
 def test_serve_step_v3_fused_gate_head_matches_unfused():
     """fuse_gate_head=True (gate + head in ONE program, head reads the
     fresh template from VMEM) is bit-identical to the two-program path —
@@ -477,6 +478,7 @@ def test_serve_v3_reference_working_points(name, ct, win, area, with_bf16):
                     np.abs(b).max(), 1.0), (name, i)
 
 
+@pytest.mark.slow
 def test_serve_step_v3_multiclass():
     """4-class DROW head (pedestrian_only=False, the reference's
     none/wc/wa/wp head) through the fused v3 pipeline vs the module

@@ -60,6 +60,7 @@ def test_hybrid_batch_sharding_spans_dcn_and_data(rng):
                for s in placed["x"].addressable_shards)
 
 
+@pytest.mark.slow
 def test_trainer_hybrid_mesh_loss_parity(tmp_path, rng):
     """{dcn: 2, data: 4} training == {data: 8} training, loss for loss
     (hierarchical psum vs flat psum — placement, not math)."""

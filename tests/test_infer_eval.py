@@ -166,6 +166,7 @@ def test_box_regressor_from_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(boxes[:, :2], centers[:, :2], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_evaluate_detection_ap_batched_matches_runner(tmp_path, rng):
     """Batched AP (B contiguous chunk streams per device step) must agree
     with the batch-1 StreamingRunner loop when chunking preserves the
@@ -311,6 +312,7 @@ def test_infer_cli_replay(tmp_path, rng):
         assert rc in (0, None), engine
 
 
+@pytest.mark.slow
 def test_evaluate_flow_serving_with_synthetic(tmp_path, rng):
     """Serve-path flow eval (the bin/evaluate.py --serve-flow face):
     masked EPE/AAE through a StreamingRunner on dataset frames, with the

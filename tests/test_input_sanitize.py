@@ -66,6 +66,7 @@ def test_garbage_input_yields_finite_outputs(engine, rng):
     assert _tree_finite(out2), "carry was poisoned by the garbage scan"
 
 
+@pytest.mark.slow
 def test_sanitize_identity_on_clean_data(rng):
     """On in-range data the sanitizer is bit-exact identity — the
     measured numbers (BASELINE.md) are unchanged."""

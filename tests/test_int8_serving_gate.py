@@ -140,6 +140,7 @@ def test_nms_topk_adversarial_clusters():
                                rtol=0, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_serve_cell_matches_pm_direct():
     """layout="cell" (whole-cell mega-kernel) must match layout="pm"
     step-for-step on the SAME inputs — int8 carries equal to 1 LSB,

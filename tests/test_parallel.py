@@ -1,5 +1,6 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -92,6 +93,7 @@ def test_sharded_train_step_matches_single_device(rng):
         assert err < 1e-7 or err / denom < 5e-3, (err, denom)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
@@ -286,6 +288,7 @@ def test_trainer_mesh_resolves_auto_encode_to_xla(tmp_path):
     assert tr._task.cutout_kwargs["encode_impl"] == "auto"
 
 
+@pytest.mark.slow
 def test_context_parallel_gate_matches_dense(rng):
     """Banded-attention gate with the CUTOUT axis sharded over 8 devices
     (ppermute halo exchange) == the dense single-device gate: template,

@@ -161,6 +161,7 @@ def test_drow_stages_dropout_rng(rng):
     assert bool(jnp.all(jnp.isfinite(cls)))
 
 
+@pytest.mark.slow
 def test_flow_unet_pipelined_forward_and_grads(rng):
     """The flow U-Net staged encoder+correlation | decoder over a pipe
     mesh: skip connections cross the stage boundary as a pytree
@@ -279,6 +280,7 @@ def _detection_fixture(rng, batch=8, num_pts=48, n_scans=2):
     return model, task, variables, batch_d
 
 
+@pytest.mark.slow
 def test_detection_loss_pipelined_matches_sequential_ghost_bn(rng):
     """loss_pipelined == a sequential microbatched loop with ghost-batch
     BN (per-microbatch stats, EMA advanced per microbatch in order):
@@ -479,6 +481,7 @@ def test_pipeline_composes_with_data_axis(rng):
         pipeline_apply(fns, params, x[:12], mesh, n_microbatches=4)
 
 
+@pytest.mark.slow
 def test_detection_loss_pipelined_dp_pp_matches_sequential(rng):
     """dp x pp with threaded BN state: per-shard ghost chains, final
     running stats = mean over the data shards — against an explicit
@@ -546,6 +549,7 @@ def test_detection_loss_pipelined_dp_pp_matches_sequential(rng):
                                    rtol=3e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_drow_train_stages_dropout_varies_per_microbatch(rng):
     """Review fix: the dropout key must fold in the microbatch tick —
     a stage-only fold hands every microbatch the same bernoulli mask.

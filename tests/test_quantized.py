@@ -54,6 +54,7 @@ def test_quantized_head_close_to_f32(rng):
     assert np.abs(reg - reg_ref).mean() < 0.15 * (reg_ref.std() + 1e-6) + 0.02
 
 
+@pytest.mark.slow
 def test_quantized_stream_step_runs(rng):
     model = FlowDrow(window_size=5, pedestrian_only=True)
     x = jnp.zeros((1, 450, 1, 16))

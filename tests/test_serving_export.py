@@ -274,6 +274,7 @@ def test_reexport_removes_stale_programs(tmp_path):
     assert bins == keep and meta["generation"] == 2
 
 
+@pytest.mark.slow
 def test_artifact_eval_surfaces(tmp_path):
     """Deployment QA: a shipped artifact is scoreable through the
     evaluation surfaces — ``evaluate_detection_ap_batched(step=engine)``

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -126,6 +127,7 @@ def test_flagship_bootstrap_structure_pinned():
     assert counts.get("top_k", 0) == 1
 
 
+@pytest.mark.slow
 def test_output_fields_subset_and_validation():
     """output_fields must (a) return exactly the requested keys with
     values identical to the full-contract step, (b) reject unknown

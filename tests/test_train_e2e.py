@@ -200,6 +200,7 @@ def test_trainer_preemption_and_resume(drow_dir, tmp_path):
     assert int(out.epoch) == 1
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_training_learns(tmp_path, rng):
     """compute_dtype=bfloat16: forward/backward in bf16 with f32 master
     weights — loss must still decrease and state stays f32."""

@@ -116,6 +116,7 @@ def test_normalize_config_flat_to_nested():
     assert normalize_config(cfg) is cfg
 
 
+@pytest.mark.slow
 def test_detection_task_loss_decreases_on_fixed_batch(rng):
     """Overfit check for the detection path with on-device cutouts."""
     model = get_model({"type": "dr-spaam", "window_size": 5,
