@@ -26,6 +26,27 @@ from planar_optical_flow_tpu.ops.nms import nms_predicted_center
 from planar_optical_flow_tpu.models.flow_drow import FlowDrow
 
 
+def serve_output_fields(is_flow: bool, with_nms: bool) -> tuple:
+    """The caller-facing output contract every step builder produces
+    (:func:`_detection_epilogue`) — the single source of truth for
+    ``output_fields`` validation, so the construction-time checks in
+    the v3 builder and :class:`StreamingRunner` cannot drift."""
+    return (("pred_cls", "pred_reg")
+            + (("pred_flow",) if is_flow else ())
+            + (("det_xys", "det_cls", "det_keep", "instance_mask")
+               if with_nms else ()))
+
+
+def _sanitize_scan(scan, max_range: float):
+    """Hostile-input guard shared by every step builder: non-finite
+    ranges (NaN/Inf from a faulty sensor) map to ``max_range`` (no
+    echo), everything clips to the sensor's [0, max_range] envelope.
+    Bit-exact identity on in-range data; one VPU where+clip that fuses
+    into the cutout producer (measured ~free, BASELINE.md round 5)."""
+    return jnp.clip(jnp.where(jnp.isfinite(scan), scan, max_range),
+                    0.0, max_range)
+
+
 def _detection_epilogue(scan, pred_cls, pred_reg, flow, phi_j, *,
                         with_nms, nms_min_dist, nms_top_k=None):
     """Shared tail of every serving step: sigmoid -> canonical->global
@@ -221,7 +242,8 @@ def make_fused_stream_step(model, variables, cutout_kwargs,
 def make_quantized_stream_step(model, variables, cutout_kwargs, calib_scans,
                                num_pts: int = 450, nms_min_dist: float = 0.5,
                                with_nms: bool = True,
-                               gate_dtype=jnp.bfloat16):
+                               gate_dtype=jnp.bfloat16,
+                               sanitize_inputs: bool = True):
     """Streaming step with int8 conv stacks (backbone + head convs).
 
     The conv stacks are activation-bandwidth bound; int8 halves their
@@ -260,6 +282,11 @@ def make_quantized_stream_step(model, variables, cutout_kwargs, calib_scans,
     ref_step = make_stream_step(model, cutout_kwargs, num_pts, with_nms=False,
                                 donate_template=False)
     calib = jnp.asarray(calib_scans, dtype=jnp.float32)
+    _san_max = float(cutout_kwargs.get("padding_val", 29.99))
+    if sanitize_inputs:
+        # a NaN/Inf beam in the calibration batch would poison every
+        # abs-max scale — calibrate on what the runtime will see
+        calib = _sanitize_scan(calib, _san_max)
     tmpl, _ = ref_step(variables, None, calib)
     tmpl, _ = ref_step(variables, tmpl, calib)
     cutouts_c = np_.asarray(_encode_single(calib, phi, cutout_kwargs))
@@ -289,6 +316,9 @@ def make_quantized_stream_step(model, variables, cutout_kwargs, calib_scans,
         )
 
     def step(template, scan):
+        if sanitize_inputs:
+            # hostile-input guard — same policy as make_serve_step_v3
+            scan = _sanitize_scan(scan, _san_max)
         b = scan.shape[0]
         cutouts = _encode_single(scan, phi, cutout_kwargs)  # (B, P, C) f32
         xq = q_bb.quantize_input(
@@ -331,6 +361,7 @@ def make_serve_step(model, variables, cutout_kwargs, num_pts: int = 450,
                     nms_min_dist: float = 0.5, with_nms: bool = True,
                     nms_top_k: int | None = None,
                     compute_dtype=jnp.bfloat16, gate_mix: str = "pallas",
+                    sanitize_inputs: bool = True,
                     interpret: bool = False):
     """Production serving step: the fastest measured composition of the
     per-scan pipeline (see BASELINE.md ablations).
@@ -393,8 +424,12 @@ def make_serve_step(model, variables, cutout_kwargs, num_pts: int = 450,
         )
 
     use_pallas = gate_mix == "pallas"
+    _san_max = float(cutout_kwargs.get("padding_val", 29.99))
 
     def step(carry, scan):
+        if sanitize_inputs:
+            # hostile-input guard — same policy as make_serve_step_v3
+            scan = _sanitize_scan(scan, _san_max)
         cutouts = _encode_single(scan, phi, cutout_kwargs)
         if compute_dtype is not None:
             cutouts = cutouts.astype(compute_dtype)
@@ -495,6 +530,7 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
 
     phi = get_laser_phi(num_pts=num_pts)
     phi_j = jnp.asarray(phi, dtype=jnp.float32)
+    _san_max = float(cutout_kwargs.get("padding_val", 29.99))
     is_flow = isinstance(model, FlowDrow)
     det_vars = (
         {"params": variables["params"]["dr_spaam"],
@@ -658,6 +694,13 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
                 raise ValueError(
                     "int8 precision requires calib_scans or calib")
             calib_j = jnp.asarray(calib_scans, jnp.float32)
+            if sanitize_inputs:
+                # the LAZY self-calibrating runner feeds the first live
+                # batch here — one NaN beam would make every abs-max
+                # scale (and thus every later output) NaN, defeating the
+                # in-step guard. Calibrate on what the runtime will
+                # actually see: the sanitized scans.
+                calib_j = _sanitize_scan(calib_j, _san_max)
             # calibrate on the SAME encode path the runtime uses
             cut_c = encode(calib_j, calib_j.shape[0])  # (B0 * p_pad, C)
             n0 = cut_c.shape[0]
@@ -830,17 +873,11 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
             interpret=interpret,
         )
 
-    _san_max = float(cutout_kwargs.get("padding_val", 29.99))
-
     def step(carry, scan):
         if sanitize_inputs:
-            # hostile-input guard: NaN/Inf -> padding (no echo), ranges
-            # clipped to the sensor's [0, padding_val] envelope. Inside
-            # the jitted step, so shard_map / lax.scan replay / AOT
-            # artifacts all inherit it.
-            scan = jnp.clip(
-                jnp.where(jnp.isfinite(scan), scan, _san_max),
-                0.0, _san_max)
+            # inside the jitted step, so shard_map / lax.scan replay /
+            # AOT artifacts all inherit the guard
+            scan = _sanitize_scan(scan, _san_max)
         b = scan.shape[0]
         if cell and carry is not None:
             # whole cell (backbone + gate + head) in ONE pallas program;
@@ -941,10 +978,7 @@ def make_serve_step_v3(model, variables, cutout_kwargs, calib_scans=None,
     # the NMS instance assignment when "instance_mask" isn't requested),
     # so an output-lean caller gets a leaner program, not just a smaller
     # dict. None = the full contract.
-    _all_fields = (("pred_cls", "pred_reg")
-                   + (("pred_flow",) if is_flow else ())
-                   + (("det_xys", "det_cls", "det_keep", "instance_mask")
-                      if with_nms else ()))
+    _all_fields = serve_output_fields(is_flow, with_nms)
     if output_fields is not None:
         bad = set(output_fields) - set(_all_fields)
         if bad:
@@ -1085,9 +1119,7 @@ def make_stream_step(model, cutout_kwargs, num_pts: int = 450,
     def step(variables, template, scan):
         if sanitize_inputs:
             # hostile-input guard — same policy as make_serve_step_v3
-            scan = jnp.clip(
-                jnp.where(jnp.isfinite(scan), scan, _san_max),
-                0.0, _san_max)
+            scan = _sanitize_scan(scan, _san_max)
         cutouts = _encode_single(scan, phi, cutout_kwargs)
         if compute_dtype is not None:
             cutouts = cutouts.astype(compute_dtype)
@@ -1215,15 +1247,8 @@ class StreamingRunner:
                 # same construction-time validation as the v3/int8c
                 # engines (the per-step filter in _dispatch stays, but an
                 # unknown name must not surface mid-stream)
-                from planar_optical_flow_tpu.models.flow_drow import (
-                    FlowDrow,
-                )
-
                 is_flow = isinstance(model, FlowDrow)
-                known = (("pred_cls", "pred_reg")
-                         + (("pred_flow",) if is_flow else ())
-                         + (("det_xys", "det_cls", "det_keep",
-                             "instance_mask") if with_nms else ()))
+                known = serve_output_fields(is_flow, with_nms)
                 bad = set(self._output_fields) - set(known)
                 if bad:
                     raise ValueError(

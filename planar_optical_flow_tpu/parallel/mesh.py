@@ -75,8 +75,18 @@ def make_hybrid_mesh(dcn_size: int, ici_axes: dict, devices=None) -> Mesh:
             f"mesh {dict(zip(names, sizes))} needs {total} devices, "
             f"have {len(devices)}"
         )
-    devices = devices[:total]
     per = total // int(dcn_size)
+    if total < len(devices) and len(devices) % int(dcn_size) == 0:
+        # partial mesh: take each dcn group's devices from its own
+        # slice-major block (a flat prefix would pull every group from
+        # the first slice and spuriously fail the split check below —
+        # e.g. {dcn: 2, data: 2} on 2 processes x 4 devices must use 2
+        # devices from EACH process, not 4 from process 0)
+        span = len(devices) // int(dcn_size)
+        devices = [d for i in range(int(dcn_size))
+                   for d in devices[i * span:i * span + per]]
+    else:
+        devices = devices[:total]
     if jax.process_count() > 1:
         groups = [
             {d.process_index for d in devices[i * per:(i + 1) * per]}

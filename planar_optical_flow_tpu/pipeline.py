@@ -318,6 +318,18 @@ class Pipeline:
                 mesh = _fallback(f"mesh construction failed: {e}")
             if mesh is not None:
                 shape = dict(mesh.shape)
+                if shape.get("pipe", 1) > 1 and shape.get("dcn", 1) > 1:
+                    # pipeline_apply's shard_map only spans (data, pipe);
+                    # a dcn axis would be silently replicated — every dcn
+                    # group computing identical work is a config error,
+                    # not a fallback
+                    raise ValueError(
+                        f"pipeline.mesh {mesh_cfg}: a dcn axis cannot "
+                        "combine with a pipe axis (the pipeline "
+                        "wavefront does not span DCN; each dcn group "
+                        "would redundantly compute the same schedule) — "
+                        "use {dcn, data[, model]} or {data, pipe}"
+                    )
                 if shape.get("pipe", 1) > 1:
                     # pipe axis: batch must split into the microbatches
                     # (default = pipe size) and each microbatch's rows
@@ -338,13 +350,16 @@ class Pipeline:
                         data_size = (shape.get("dcn", 1)
                                      * shape.get("data", 1))
                     else:
-                        data_size = mesh.devices.size
+                        # model-only mesh: the Trainer replicates the
+                        # batch (no data axis to shard over), so no
+                        # divisibility constraint applies
+                        data_size = 1
                     if bsz % max(data_size, 1) != 0:
                         mesh = _fallback(
                             f"batch_size {bsz} not divisible by the "
                             f"data-parallel extent {data_size}"
                         )
-                    elif shape.get("model", 1) > 1:
+                    if mesh is not None and shape.get("model", 1) > 1:
                         sharding_fn = state_shardings
         self.trainer = Trainer(
             self.logger, pcfg["Trainer"], self.task, lr_schedule=schedule,

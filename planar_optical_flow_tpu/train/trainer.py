@@ -138,6 +138,13 @@ class Trainer:
         pipe_n = (dict(self._mesh.shape).get("pipe", 1)
                   if self._mesh is not None else 1)
         if pipe_n > 1:
+            if dict(self._mesh.shape).get("dcn", 1) > 1:
+                raise ValueError(
+                    "a dcn axis cannot combine with a pipe axis — the "
+                    "pipeline wavefront does not span DCN (each dcn "
+                    "group would redundantly run the same schedule); "
+                    "use {dcn, data} or {data, pipe}"
+                )
             if not hasattr(task, "loss_pipelined"):
                 raise ValueError(
                     f"mesh has a pipe axis of {pipe_n} but task "

@@ -118,3 +118,29 @@ def test_hybrid_mesh_single_axis_dcn():
     mesh = make_mesh_from_config({"dcn": 8})
     assert mesh.axis_names == ("dcn",)
     assert dict(mesh.shape) == {"dcn": 8}
+
+
+def test_hybrid_partial_mesh_takes_devices_per_group():
+    """A hybrid mesh using a subset of the devices must take each dcn
+    group's devices from its own slice-major block, not a flat prefix
+    (which would put every group in the first slice and spuriously
+    fail the multi-process split check)."""
+    mesh = make_mesh_from_config({"dcn": 2, "data": 2})
+    devs = list(mesh.devices.ravel())
+    all_devs = sorted(jax.devices(), key=lambda d: d.id)
+    # group 0 from the first half of the device order, group 1 from
+    # the second half
+    assert devs[0:2] == all_devs[0:2]
+    assert devs[2:4] == all_devs[4:6]
+
+
+def test_dcn_pipe_combination_rejected(tmp_path):
+    from planar_optical_flow_tpu.train import Trainer, tasks
+    from planar_optical_flow_tpu.utils import RunLogger
+
+    mesh = make_mesh_from_config({"dcn": 2, "pipe": 2})
+    logger = RunLogger({"log_dir": str(tmp_path), "tag": "dcnpipe"})
+    trainer = Trainer(logger, {"epoch": 1}, tasks.DetectionTask(),
+                      mesh=mesh, install_signal_handlers=False)
+    with pytest.raises(ValueError, match="dcn axis cannot combine"):
+        trainer._build_steps(None)

@@ -105,3 +105,50 @@ def test_module_step_sanitize_identity(rng):
     for k in ref:
         np.testing.assert_array_equal(np.asarray(ref[k]),
                                       np.asarray(out[k]))
+
+
+def test_lazy_int8c_calibration_survives_garbage_first_batch(rng):
+    """The lazily self-calibrating int8c runner feeds its FIRST live
+    batch into calibration — a NaN beam there must not poison the
+    abs-max scales (round-5 review finding: the in-step guard alone
+    left the calibration front door open)."""
+    model, variables = _small_model()
+    runner = StreamingRunner(model, variables, CUTOUT_KW, num_pts=NUM_PTS,
+                             engine="int8c")  # no calib -> lazy
+    out = runner(_garbage(rng))  # calibrates AND steps on garbage
+    assert _tree_finite(out), "lazy calibration poisoned by garbage"
+    assert np.isfinite(runner.calibration.bb_in_scale)
+    assert all(np.isfinite(s) for s in runner.calibration.bb_act_scales)
+    clean = rng.uniform(0.5, 25.0, (B, NUM_PTS)).astype(np.float32)
+    assert _tree_finite(runner(clean))
+
+
+def test_quantized_step_sanitizes_and_calibrates_on_garbage(rng):
+    """The legacy XLA-int8 step builder shares the guard: garbage
+    calibration scans and garbage live scans both stay bounded."""
+    from planar_optical_flow_tpu.infer.streaming import (
+        make_quantized_stream_step,
+    )
+
+    model, variables = _small_model()
+    bad = _garbage(rng)
+    step = make_quantized_stream_step(model, variables, CUTOUT_KW, bad,
+                                      num_pts=NUM_PTS)
+    tmpl, out = step(None, jnp.asarray(bad))
+    assert _tree_finite(out)
+    assert bool(np.isfinite(np.asarray(tmpl, np.float32)).all())
+
+
+def test_serve_step_module_banded_sanitizes(rng):
+    """make_serve_step (the banded-gate module serving step used by the
+    batched AP evaluator's engine='module' path) shares the guard."""
+    from planar_optical_flow_tpu.infer.streaming import make_serve_step
+
+    model, variables = _small_model()
+    step = make_serve_step(model, variables, CUTOUT_KW, num_pts=NUM_PTS,
+                           interpret=True)
+    carry, out = step(None, jnp.asarray(_garbage(rng)))
+    assert _tree_finite(out)
+    carry, out2 = step(carry, jnp.asarray(
+        rng.uniform(0.5, 25.0, (B, NUM_PTS)).astype(np.float32)))
+    assert _tree_finite(out2)

@@ -109,3 +109,21 @@ def test_pipe_axis_stage_count_mismatch_raises(drow_dir, tmp_path):
     assert pipe.trainer._mesh is not None
     with pytest.raises(ValueError, match="2 pipeline stages"):
         pipe.train()
+
+
+def test_model_only_mesh_kept_regardless_of_batch(drow_dir, tmp_path,
+                                                  warnings_log):
+    """A pure tensor-parallel mesh replicates the batch (no data axis),
+    so batch divisibility must NOT drop it — batch 8 on {model: 8}."""
+    cfg = _cfg(drow_dir, tmp_path, {"model": 8}, model_type="dr-spaam")
+    pipe = Pipeline(cfg, install_signal_handlers=False)
+    assert pipe.trainer._mesh is not None
+    assert dict(pipe.trainer._mesh.shape) == {"model": 8}
+    assert not any("falling back" in m for m in warnings_log)
+
+
+def test_dcn_pipe_mesh_raises_at_init(drow_dir, tmp_path):
+    with pytest.raises(ValueError, match="dcn axis cannot combine"):
+        Pipeline(_cfg(drow_dir, tmp_path, {"dcn": 2, "pipe": 2},
+                      batch_size=8),
+                 install_signal_handlers=False)
