@@ -13,6 +13,7 @@ saturate or go non-finite after thousands of autoregressive updates).
 Usage: PYTHONPATH=/root/repo python experiments/probe_soak.py
   [STEPS=2000] [WINDOW=200] total steps / timing-window size
   (WINDOW is clamped to STEPS; STEPS is rounded down to whole windows)
+  [BATCH=128] stream count (384 = the round-5 headline batch)
 """
 import json
 import os
@@ -30,7 +31,7 @@ def main():
         raise SystemExit("STEPS/WINDOW must be >= 1")
     steps = (steps // window) * window  # whole windows only — report truth
 
-    step, scan = flagship_step(batch=128)
+    step, scan = flagship_step(batch=int(os.environ.get("BATCH", "128")))
 
     carry, out = step(None, scan)
     for _ in range(3):

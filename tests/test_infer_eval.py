@@ -396,3 +396,22 @@ def test_evaluate_cli_box_reg_prints_baseline(tmp_path, capsys):
         assert k in printed, f"model metric {k} missing"
         assert f"baseline_{k}" in printed, f"baseline_{k} missing"
     assert 0.0 <= printed["baseline_iou"] <= 1.0
+
+
+def test_mean_box_baseline_2d(rng):
+    """The 2D branch (5-col boxes: cx, cy, dx, dy, ori) — no z row in
+    the output, IoU from the planar rotated-IoU kernel."""
+    class Ds:
+        pass
+
+    n = 48
+    ds = Ds()
+    dims = rng.uniform(0.4, 1.2, size=(n, 2))
+    centers = rng.uniform(-5, 5, size=(n, 2))
+    rots = rng.uniform(-np.pi, np.pi, size=(n, 1))
+    ds.targets = np.hstack([centers, dims, rots])
+    ds.dets_center = centers + rng.normal(scale=0.05, size=(n, 2))
+    out = mean_box_baseline(ds)
+    assert 0.0 < out["iou"] <= 1.0
+    assert out["loss_dim"] > 0 and out["loss_ori"] > 0
+    assert "loss_z" not in out
