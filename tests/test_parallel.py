@@ -126,6 +126,7 @@ def test_mesh_from_config_and_auto():
     assert dict(mesh.shape) == {"data": 8}
 
 
+@pytest.mark.slow
 def test_trainer_2d_mesh_loss_parity(tmp_path, rng):
     """The same SpatialDrow training runs on a 1-D data mesh and a 2-D
     (data, model) mesh (tensor-sharded embed + head convs) must produce the

@@ -795,6 +795,7 @@ def test_next_generation_corrupt_meta_scans_bins(tmp_path):
     assert _next_generation(d, "engine.json") == 8
 
 
+@pytest.mark.slow
 def test_export_cli_lean_fields(tmp_path):
     """--fields bakes an output-lean program into the artifact: the
     loaded engine returns exactly those keys, bit-identical to the full

@@ -51,7 +51,13 @@ def _runner(engine, model, variables, calib):
                            engine=engine, **kw)
 
 
-@pytest.mark.parametrize("engine", ["module", "int8c"])
+@pytest.mark.parametrize(
+    "engine",
+    ["module",
+     # the int8c variant re-derives calibration + pallas kernels (~54 s
+     # on a 1-CPU box); its carry semantics are identical by the
+     # merge_stream_carries contract — slow tier keeps it exercised
+     pytest.param("int8c", marks=pytest.mark.slow)])
 def test_per_stream_reset(engine, rng):
     model, variables = _small_model()
     scans = _scans(rng)
